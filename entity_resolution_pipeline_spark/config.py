@@ -1,0 +1,163 @@
+"""Pipeline configuration.
+
+Mirrors the semantics of the reference's single ``config.yml``
+(/root/reference/config.yml) as a frozen dataclass tree so every stage is
+config-driven (reference pattern I8, SURVEY.md §2.10).  Defaults reproduce
+the reference's shipped configuration exactly where semantics depend on it
+(null tokens, thresholds, dampening factors, feature selection, LR
+hyper-parameters, clustering knobs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+# Null tokens: reference config.yml:63 (preprocessing.null_values).
+NULL_VALUES: tuple[str, ...] = ("NULL", "null", "", "None", "NA", "N/A")
+
+# Sentinel hash for empty/whitespace-only strings: reference src/utils.py:98-99.
+# NOT md5("") — the reference hardcodes this constant; replicated for parity.
+EMPTY_STRING_HASH = "132172610905071792854514019103556680276"
+
+# The string fields of a catalog record, in the reference's processing order
+# (src/batch_parallel_preprocessing.py:328-353).  'roles' is tracked but never
+# embedded (preprocessing.py:344-352).
+EMBED_FIELDS: tuple[str, ...] = ("composite", "person", "title", "provision", "subjects")
+ALL_FIELDS: tuple[str, ...] = EMBED_FIELDS + ("roles",)
+
+
+@dataclass(frozen=True)
+class EmbeddingConfig:
+    """Deterministic local embedding (replaces the reference's OpenAI client,
+    src/batch_parallel_embedding.py:300-386 — north rule mandates locally
+    computed embeddings)."""
+
+    dimensions: int = 256          # reference uses 1536 (config.yml:29); ours is local
+    char_ngram: int = 3            # character shingle width for the hashed projection
+    fields_to_embed: tuple[str, ...] = EMBED_FIELDS
+
+
+@dataclass(frozen=True)
+class BlockingConfig:
+    """MinHash-LSH blocking (replaces the Weaviate HNSW server,
+    reference docker-compose.yml:18-22; the candidate-generation stage the
+    reference designed but never implemented, SURVEY.md §3 EP3)."""
+
+    shingle_size: int = 3          # char shingles over the normalized person name
+    num_hashes: int = 64           # MinHash signature length
+    bands: int = 16                # LSH bands (rows per band = num_hashes // bands)
+    max_block_size: int = 2000     # cap: blocks larger than this are salted into
+    # sub-blocks by a secondary signature slice; pair enumeration stays complete
+    # within each sub-block (correctness-neutral cap, SURVEY.md §7 risk 3)
+    also_exact_name_key: bool = True  # add a normalized-name exact block key
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    """Pairwise feature battery (reference src/batch_parallel_feature_engineering.py
+    426-665; toggles from config.yml:76-193)."""
+
+    cosine_similarities: tuple[str, ...] = ("person", "title", "provision", "subjects", "composite")
+    string_similarity_field: str = "person"
+    string_similarity_metrics: tuple[str, ...] = ()   # config.yml:90 ships [""] → none
+    harmonic_means: tuple[tuple[str, str], ...] = (
+        ("person", "title"),
+        ("person", "provision"),
+        ("person", "subjects"),
+        ("title", "subjects"),
+        ("title", "provision"),
+        ("provision", "subjects"),
+    )
+    products: tuple[tuple[str, str], ...] = (("person", "provision"),)
+    ratios: tuple[tuple[str, str], ...] = ()
+    birth_death_enabled: bool = True
+    low_composite_penalty_enabled: bool = True
+    low_composite_penalty_threshold: float = 0.65
+    title_cosine_squared_enabled: bool = True
+    person_lev_bd_product_enabled: bool = True
+    person_lev_bd_dampening: float = 0.25
+    person_cos_bd_product_enabled: bool = True
+    person_cos_bd_dampening: float = 0.25
+    normalize_features: bool = True    # StandardScaler (feature_engineering.py:931-960)
+
+
+@dataclass(frozen=True)
+class FeatureSelectionConfig:
+    """Include-mode whitelist (reference config.yml:163-193 +
+    feature_engineering.py:704-803)."""
+
+    enabled: bool = True
+    mode: str = "include"
+    base_features: tuple[str, ...] = ("person_cosine", "composite_cosine")
+    interaction_features: tuple[str, ...] = ("person_title_harmonic", "person_subjects_harmonic")
+    include_all_cosine: bool = False
+    include_all_levenshtein: bool = False
+    include_all_harmonic: bool = False
+    include_all_product: bool = False
+    include_all_ratio: bool = False
+    include_all_birth_death: bool = True
+    keep_custom_features: bool = True          # keeps low_composite_penalty
+    custom_feature_patterns: tuple[str, ...] = ("low_composite_penalty",)
+
+
+@dataclass(frozen=True)
+class ClassifierConfig:
+    """Logistic regression, mini-batch GD (reference classification.py:456-536,
+    hyper-parameters config.yml:196-206)."""
+
+    regularization: str = "l2"
+    regularization_strength: float = 1.0
+    learning_rate: float = 0.01
+    max_iterations: int = 1000
+    convergence_tolerance: float = 1e-4
+    batch_size: int = 1000
+    class_weight: str = "balanced"
+    decision_threshold: float = 0.95
+    train_test_split: float = 0.7              # config.yml:22
+    random_seed: int = 42                      # config.yml:15
+
+
+@dataclass(frozen=True)
+class ClusteringConfig:
+    """Transitive clustering (reference classification.py:840-969,
+    config.yml:209-214); algorithm here is always the distributed
+    large-star/small-star connected components."""
+
+    min_edge_weight: float = 0.5
+    min_cluster_size: int = 1
+    max_iterations: int = 50                   # safety bound for CC iterations
+
+
+@dataclass(frozen=True)
+class ImputationConfig:
+    """Vector hot-deck imputation (reference src/batch_parallel_imputation.py,
+    config.yml:66-73)."""
+
+    fields_to_impute: tuple[str, ...] = ("provision", "subjects")
+    vector_similarity_threshold: float = 0.30
+    max_candidates: int = 10
+    method: str = "average"                    # average | weighted_average | nearest
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level config: one object drives every stage."""
+
+    null_values: tuple[str, ...] = NULL_VALUES
+    normalize_strings: bool = True             # config.yml:61
+    embedding: EmbeddingConfig = field(default_factory=EmbeddingConfig)
+    blocking: BlockingConfig = field(default_factory=BlockingConfig)
+    features: FeatureConfig = field(default_factory=FeatureConfig)
+    feature_selection: FeatureSelectionConfig = field(default_factory=FeatureSelectionConfig)
+    classifier: ClassifierConfig = field(default_factory=ClassifierConfig)
+    clustering: ClusteringConfig = field(default_factory=ClusteringConfig)
+    imputation: ImputationConfig = field(default_factory=ImputationConfig)
+    shuffle_partitions: int = 32               # sized per SF; cluster deploys override
+
+    def replace(self, **kw: Any) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,111 @@
+"""MinHash signatures + LSH band keys over character shingles.
+
+This is the engine's candidate-generation core — the stage the reference
+*designed but never implemented* (pipeline.py:334-388 calls
+`execute_candidate_queries` which does not exist in src/; SURVEY.md §3 EP3).
+The reference delegated ANN to a Weaviate HNSW server; here blocking is pure
+computation + shuffle: shingle → MinHash signature → band hashes → block
+keys, all inside Arrow pandas UDFs (no server, no per-row Python).
+
+MinHash uses k universal-hash permutations h_i(x) = (a_i·x + b_i) mod p over
+crc32 shingle values (Broder, "On the resemblance and containment of
+documents"); banding per Leskovec/Rajaraman/Ullman MMDS ch.3.  a_i/b_i come
+from a fixed numpy PCG64 seed so signatures are deterministic across runs,
+executors, and parallelism levels.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType, StringType
+
+_MERSENNE_P = (1 << 61) - 1
+_SEED = 42
+
+
+def _coeffs(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.PCG64(_SEED))
+    a = rng.integers(1, _MERSENNE_P, size=num_hashes, dtype=np.int64).astype(object)
+    b = rng.integers(0, _MERSENNE_P, size=num_hashes, dtype=np.int64).astype(object)
+    return a, b
+
+
+def shingle_set(text: str, k: int = 3) -> np.ndarray:
+    """crc32 values of the k-char shingles of the lowercased padded string."""
+    padded = f" {text.lower()} "
+    if len(padded) <= k:
+        grams = [padded]
+    else:
+        grams = [padded[i : i + k] for i in range(len(padded) - k + 1)]
+    return np.unique(
+        np.fromiter((zlib.crc32(g.encode("utf-8")) for g in grams), dtype=np.uint64)
+    )
+
+
+def minhash_signature(text: str | None, num_hashes: int = 64, k: int = 3) -> np.ndarray:
+    """int64[num_hashes] MinHash signature; empty text → all -1 sentinel."""
+    a, b = _coeffs(num_hashes)
+    if not text:
+        return np.full(num_hashes, -1, dtype=np.int64)
+    x = shingle_set(text, k).astype(object)  # object → exact 128-bit products
+    # (k_hashes, n_shingles) universal hashes, min over shingles
+    hv = (np.outer(a, x) + b[:, None]) % _MERSENNE_P
+    return hv.min(axis=1).astype(np.int64)
+
+
+def band_keys(sig: np.ndarray, bands: int) -> list[str]:
+    """One block key per band: 'b<i>:<hash of the band rows>'.  Band hash is
+    crc32 over the row bytes — cheap, deterministic, collision-safe enough at
+    32 bits per band given pair verification happens downstream."""
+    if sig[0] == -1 and np.all(sig == -1):
+        return []
+    rows = len(sig) // bands
+    keys = []
+    for i in range(bands):
+        chunk = sig[i * rows : (i + 1) * rows]
+        keys.append(f"b{i}:{zlib.crc32(chunk.tobytes()):08x}")
+    return keys
+
+
+def jaccard(text1: str, text2: str, k: int = 3) -> float:
+    """Exact shingle-set Jaccard (ground truth for MinHash estimates)."""
+    s1 = set(shingle_set(text1, k).tolist())
+    s2 = set(shingle_set(text2, k).tolist())
+    if not s1 and not s2:
+        return 1.0
+    return len(s1 & s2) / len(s1 | s2)
+
+
+def make_minhash_udf(num_hashes: int = 64, k: int = 3):
+    """Arrow pandas UDF: string column → array<long> signature column.
+    Coefficients are computed once per executor (closure), re-used across
+    batches."""
+    a, b = _coeffs(num_hashes)
+
+    @pandas_udf(ArrayType(LongType()))
+    def minhash_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if not t:
+                out.append(np.full(num_hashes, -1, dtype=np.int64).tolist())
+                continue
+            x = shingle_set(t, k).astype(object)
+            hv = (np.outer(a, x) + b[:, None]) % _MERSENNE_P
+            out.append(hv.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return minhash_udf
+
+
+def make_band_keys_udf(bands: int):
+    """Arrow pandas UDF: signature array column → array<string> band keys."""
+
+    @pandas_udf(ArrayType(StringType()))
+    def band_keys_udf(sigs: pd.Series) -> pd.Series:
+        return sigs.map(lambda s: band_keys(np.asarray(s, dtype=np.int64), bands))
+
+    return band_keys_udf

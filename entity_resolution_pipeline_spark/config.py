@@ -34,9 +34,14 @@ class EmbeddingConfig:
     src/batch_parallel_embedding.py:300-386 — north rule mandates locally
     computed embeddings)."""
 
-    dimensions: int = 256          # reference uses 1536 (config.yml:29); ours is local
-    char_ngram: int = 3            # character shingle width for the hashed projection
+    dimensions: int = 4096         # hashed-projection width; reference used 1536
+    # dense OpenAI dims (config.yml:29) — a sparse hashed projection needs
+    # more buckets to keep rare-gram collisions (and thus cosine noise) low
+    char_ngram: int = 4            # character shingle width for the hashed projection
     fields_to_embed: tuple[str, ...] = EMBED_FIELDS
+    use_idf: bool = True           # IDF-weight hash buckets by corpus document
+    # frequency (one extra agg over unique strings + a dim-float broadcast):
+    # downweights shared boilerplate so cosine measures distinctive overlap
 
 
 @dataclass(frozen=True)
@@ -62,6 +67,14 @@ class FeatureConfig:
     cosine_similarities: tuple[str, ...] = ("person", "title", "provision", "subjects", "composite")
     string_similarity_field: str = "person"
     string_similarity_metrics: tuple[str, ...] = ()   # config.yml:90 ships [""] → none
+    # Our extension (north_rule: "Jaro-Winkler + Levenshtein on normalized
+    # title/url fields"): string similarities over the YEAR-STRIPPED
+    # normalized person name (reference normalize_name,
+    # birth_death_regexes.py:197-225).  Raw-person levenshtein is noisy —
+    # "Haddad, Jan" vs "Haddad, Jan, 1797-1828" scores 0.5 while the truly
+    # different "Haddad, Jan" vs "Haddad, Eszter" scores 0.57; stripping the
+    # life dates first makes given-name differences the dominant signal.
+    normalized_name_sims: tuple[str, ...] = ("levenshtein", "jaro_winkler")
     harmonic_means: tuple[tuple[str, str], ...] = (
         ("person", "title"),
         ("person", "provision"),
@@ -90,9 +103,19 @@ class FeatureSelectionConfig:
 
     enabled: bool = True
     mode: str = "include"
-    base_features: tuple[str, ...] = ("person_cosine", "composite_cosine")
+    base_features: tuple[str, ...] = (
+        "person_cosine",
+        "composite_cosine",
+        "person_norm_levenshtein",
+        "person_norm_jaro_winkler",
+    )
     interaction_features: tuple[str, ...] = ("person_title_harmonic", "person_subjects_harmonic")
-    include_all_cosine: bool = False
+    # Deviation from the reference default (config.yml:169): with semantic
+    # OpenAI embeddings, composite+person cosines carry most signal; with our
+    # hashed char-n-gram embeddings the entity-distinctive vocabulary signal
+    # lives in the per-field title/subjects cosines, so all cosines are
+    # selected by default.
+    include_all_cosine: bool = True
     include_all_levenshtein: bool = False
     include_all_harmonic: bool = False
     include_all_product: bool = False
@@ -115,6 +138,16 @@ class ClassifierConfig:
     batch_size: int = 1000
     class_weight: str = "balanced"
     decision_threshold: float = 0.95
+    # Threshold sweep (reference classification.py:576-601, W5 in SURVEY.md
+    # §2.5).  The reference sweeps np.linspace(0.1,0.9,9) ON THE TEST SET and
+    # mutates decision_threshold mid-eval (flagged bug, SURVEY.md §7 item 7);
+    # we sweep a finer grid on the TRAIN split only, ties broken toward the
+    # higher (more precise) threshold.
+    tune_threshold: bool = True
+    threshold_grid_start: float = 0.05
+    threshold_grid_stop: float = 0.95
+    threshold_grid_steps: int = 19
+    threshold_metric: str = "f1"
     train_test_split: float = 0.7              # config.yml:22
     random_seed: int = 42                      # config.yml:15
 

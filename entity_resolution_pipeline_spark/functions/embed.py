@@ -36,10 +36,20 @@ def char_ngrams(text: str, n: int) -> list[str]:
     return [padded[i : i + n] for i in range(len(padded) - n + 1)]
 
 
-def embed_string(text: str | None, dim: int = 256, n: int = 3) -> np.ndarray:
+def embed_string(
+    text: str | None, dim: int = 256, n: int = 3, weights: np.ndarray | None = None
+) -> np.ndarray:
     """Deterministic hashed-n-gram embedding, L2-normalized float32[dim].
     Empty/None → zero vector (cosine treats it as 0-similarity, matching the
-    reference's empty-vector guard, feature_engineering.py:694-700)."""
+    reference's empty-vector guard, feature_engineering.py:694-700).
+
+    ``weights`` (optional, len dim) is a per-bucket IDF vector from
+    :func:`bucket_idf_weights`: template boilerplate shared by every document
+    hashes into high-DF buckets and is downweighted toward 0, so cosine
+    measures *distinctive* overlap — the role the reference's semantic
+    OpenAI embeddings played.  Without weights, cosine is dominated by
+    whatever fixed scaffolding the corpus shares.
+    """
     vec = np.zeros(dim, dtype=np.float64)
     if not text:
         return vec.astype(np.float32)
@@ -47,17 +57,62 @@ def embed_string(text: str | None, dim: int = 256, n: int = 3) -> np.ndarray:
         h = zlib.crc32(gram.encode("utf-8"))
         sign = 1.0 if (h >> 31) & 1 else -1.0
         vec[h % dim] += sign
+    if weights is not None:
+        vec *= weights
     norm = np.linalg.norm(vec)
     if norm > 0:
         vec /= norm
     return vec.astype(np.float32)
 
 
-def make_embed_udf(dim: int = 256, n: int = 3):
-    """Factory for an Arrow pandas UDF: string column → array<float> column."""
+def make_embed_udf(dim: int = 256, n: int = 3, weights=None):
+    """Factory for an Arrow pandas UDF: string column → array<float> column.
+    ``weights``: optional list/array of per-bucket IDF weights (len dim),
+    closed over and shipped to executors once per task."""
+    w = None if weights is None else np.asarray(weights, dtype=np.float64)
 
     @pandas_udf(ArrayType(FloatType()))
     def embed_udf(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: embed_string(t, dim=dim, n=n).tolist())
+        return texts.map(lambda t: embed_string(t, dim=dim, n=n, weights=w).tolist())
 
     return embed_udf
+
+
+def bucket_document_frequencies(strings_df, col: str, dim: int = 256, n: int = 3):
+    """Per-bucket document frequencies over a corpus of (distinct) strings:
+    explode n-grams → bucket id → count distinct source strings.
+
+    Returns a DataFrame (bucket int, df long).  One shuffle of (bucket,
+    string-hash) pairs; at 100 TB this runs over *unique strings only* (the
+    dedup-before-expensive-work invariant) and the result is dim rows —
+    broadcastable by construction.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf as pudf
+    from pyspark.sql.types import ArrayType as AT, IntegerType as IT
+
+    @pudf(AT(IT()))
+    def buckets_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if not t:
+                out.append([])
+                continue
+            bs = {zlib.crc32(g.encode("utf-8")) % dim for g in char_ngrams(t, n)}
+            out.append(sorted(bs))
+        return pd.Series(out)
+
+    return (
+        strings_df.select(F.explode(buckets_udf(F.col(col))).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("df"))
+    )
+
+
+def bucket_idf_weights(df_counts, n_docs: int, dim: int = 256) -> np.ndarray:
+    """Collect (bucket, df) rows → smooth IDF weight vector
+    log(1 + n_docs/(1+df)); buckets never seen get the max weight."""
+    weights = np.full(dim, np.log(1.0 + n_docs), dtype=np.float64)
+    for row in df_counts.collect():
+        weights[int(row["bucket"])] = np.log(1.0 + n_docs / (1.0 + float(row["df"])))
+    return weights

@@ -1,0 +1,91 @@
+"""MinHash-LSH blocking + candidate-pair generation.
+
+The candidate stage the reference designed but never shipped (pipeline.py:
+334-388 calls `execute_candidate_queries`, absent from src/ — SURVEY.md §3
+EP3).  Blocking keys come from MinHash band hashes over character shingles of
+the *year-stripped, lowercased* person name (so records of one person whose
+strings differ only in life-date formatting still collide; the classifier
+separates true twins downstream), plus an exact normalized-name key.
+
+Scale design (north rule: partitioning/shuffle/skew handled explicitly):
+* band keys are computed in one Arrow UDF pass; explode → (block_key, id)
+* frequent-bucket pruning: block keys with > max_block_size members are
+  non-discriminative "stop keys" (power-law person names, SURVEY.md §7 risk
+  3); they are dropped and *counted* — a recall/cost knob reported in stage
+  metrics, never silent
+* the block self-join shuffles on block_key; AQE skew-join splitting handles
+  residual imbalance inside the cap
+* pair dedup (same pair from multiple bands) is one exchange on
+  (left_id, right_id)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import BlockingConfig
+
+
+def block_membership(
+    records: DataFrame,
+    cfg: BlockingConfig = BlockingConfig(),
+    key_col: str = "person",
+    id_col: str = "record_id",
+) -> DataFrame:
+    """records → (block_key, id).  Records with a missing key get no blocks
+    (reference behavior: a record without a person string was never queried
+    against Weaviate)."""
+    from ..functions.birth_death import normalize_name_udf
+    from ..functions.minhash import make_band_keys_udf, make_minhash_udf
+
+    minhash_udf = make_minhash_udf(num_hashes=cfg.num_hashes, k=cfg.shingle_size)
+    band_udf = make_band_keys_udf(bands=cfg.bands)
+
+    keyed = (
+        records.where(F.col(key_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(key_col))
+        .withColumn("block_base", F.lower(normalize_name_udf(key_col)))
+    )
+    banded = keyed.withColumn("sig", minhash_udf("block_base")).withColumn(
+        "keys", band_udf("sig")
+    )
+    membership = banded.select("id", F.explode("keys").alias("block_key"))
+    if cfg.also_exact_name_key:
+        exact = keyed.select(
+            "id", F.concat(F.lit("x:"), F.xxhash64("block_base").cast("string")).alias("block_key")
+        )
+        membership = membership.unionByName(exact)
+    return membership
+
+
+def prune_hot_blocks(
+    membership: DataFrame, cfg: BlockingConfig = BlockingConfig()
+) -> tuple[DataFrame, DataFrame]:
+    """Split membership into (kept, dropped_block_stats).  dropped stats =
+    (block_key, size) for keys over the cap — surfaced as stage metrics."""
+    sizes = membership.groupBy("block_key").agg(F.count("*").alias("size"))
+    hot = sizes.where(F.col("size") > cfg.max_block_size)
+    kept = membership.join(F.broadcast(hot.select("block_key")), "block_key", "left_anti")
+    return kept, hot
+
+
+def candidate_pairs(
+    membership: DataFrame, cfg: BlockingConfig = BlockingConfig()
+) -> DataFrame:
+    """Block self-join → distinct (left_id, right_id), left < right.
+
+    The l.id < r.id predicate halves the join output before the exchange;
+    dropDuplicates collapses multi-band duplicates.  Hot keys are pruned
+    first so no single block key dominates a shuffle partition; AQE
+    skew-join handles the rest.
+    """
+    kept, _ = prune_hot_blocks(membership, cfg)
+    l = kept.alias("l")
+    r = kept.alias("r")
+    pairs = (
+        l.join(r, "block_key")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("left_id"), F.col("r.id").alias("right_id"))
+    )
+    return pairs.dropDuplicates(["left_id", "right_id"])

@@ -1,0 +1,62 @@
+"""Deterministic embedding stage over *distinct* strings.
+
+Keeps the reference's one key optimization — embed each unique string once,
+not once per record (embedding.py:106-119) — and replaces its OpenAI batch
+client + rate limiter + Weaviate upsert (embedding.py:300-386,
+indexing.py:467-504) with a local hashed-n-gram projection UDF and a plain
+parquet table keyed (hash, field_type); idempotency = dropDuplicates on the
+key (the reference's uuid5 trick, indexing.py:480).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import EmbeddingConfig
+
+
+def embed_unique_strings(
+    melted: DataFrame,
+    cfg: EmbeddingConfig = EmbeddingConfig(),
+) -> DataFrame:
+    """melted (record_id, field, value_norm, hash) → EMBEDDINGS table
+    (hash, field_type, value, frequency, embedding).
+
+    The embedding depends only on the string, so the UDF runs over distinct
+    hashes (the small side), then joins back to per-(hash, field) frequencies
+    — dedup-before-expensive-work, SURVEY.md §4 row 1.
+    """
+    from ..functions.embed import make_embed_udf
+
+    embeddable = melted.where(F.col("field").isin(*cfg.fields_to_embed))
+    freq = embeddable.groupBy("hash", "field").agg(
+        F.count("*").alias("frequency"), F.first("value_norm").alias("value")
+    )
+    distinct_strings = embeddable.select("hash", "value_norm").dropDuplicates(["hash"])
+
+    weights = None
+    if cfg.use_idf:
+        from ..functions.embed import bucket_document_frequencies, bucket_idf_weights
+
+        distinct_strings = distinct_strings.persist()
+        n_docs = distinct_strings.count()
+        dfc = bucket_document_frequencies(
+            distinct_strings, "value_norm", dim=cfg.dimensions, n=cfg.char_ngram
+        )
+        weights = bucket_idf_weights(dfc, n_docs, dim=cfg.dimensions).tolist()
+
+    embed_udf = make_embed_udf(dim=cfg.dimensions, n=cfg.char_ngram, weights=weights)
+    vectors = distinct_strings.select(
+        "hash", embed_udf("value_norm").alias("embedding")
+    )
+    return (
+        freq.join(vectors, "hash")
+        .select(
+            "hash",
+            F.col("field").alias("field_type"),
+            "value",
+            "frequency",
+            "embedding",
+        )
+    )

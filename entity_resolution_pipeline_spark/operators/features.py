@@ -1,0 +1,318 @@
+"""Pairwise feature battery + standardization.
+
+Re-expresses the reference's per-pair, per-process feature computation
+(feature_engineering.py:332-392 fan-out; battery 426-665) as:
+
+* two equi-joins assembling a wide pair row (pair ⋈ record_repr ⋈ record_repr
+  — reference J3, querying.py:174-210)
+* ONE `mapInPandas` pass computing the whole battery with stacked-matrix
+  numpy (the reference's dominant overhead was per-pair numpy calls across
+  process pools — SURVEY.md §4 'Batched vector ops')
+* StandardScaler as agg + select expressions (feature_engineering.py:931-960;
+  sklearn population std, zero-variance columns scale 1.0)
+
+Semantics preserved per feature: see functions/similarity.py docstrings and
+the f-battery table SURVEY.md §2.7.  Missing-field conventions: a feature the
+reference never emitted for a pair is 0.0 after vectorization fill
+(classification.py:330) — replicated via presence masks here, NOT by running
+cosine over zero vectors (which would give norm 0.5 and a spurious
+low-composite penalty).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+from ..config import EMBED_FIELDS, FeatureConfig, FeatureSelectionConfig
+
+
+def record_repr(melted: DataFrame, vectors: DataFrame) -> DataFrame:
+    """(record_id, {field}_value, {field}_vec ×5) — the per-record
+    representation both sides of a pair join against (reference
+    record_vectors, querying.py:455-512)."""
+    joined = melted.where(F.col("field").isin(*EMBED_FIELDS)).join(
+        vectors.select("hash", "embedding").dropDuplicates(["hash"]), "hash", "left"
+    )
+    aggs = []
+    for f in EMBED_FIELDS:
+        aggs.append(
+            F.first(F.when(F.col("field") == f, F.col("value_norm")), ignorenulls=True).alias(f"{f}_value")
+        )
+        aggs.append(
+            F.first(F.when(F.col("field") == f, F.col("embedding")), ignorenulls=True).alias(f"{f}_vec")
+        )
+    return joined.groupBy("record_id").agg(*aggs)
+
+
+def assemble_pairs(pairs: DataFrame, repr_df: DataFrame) -> DataFrame:
+    """pairs(left_id, right_id[, match]) ⋈ repr ⋈ repr → wide pair rows with
+    l_/r_ prefixed value+vector columns."""
+    l = repr_df.select(
+        F.col("record_id").alias("left_id"),
+        *[F.col(f"{f}_value").alias(f"l_{f}_value") for f in EMBED_FIELDS],
+        *[F.col(f"{f}_vec").alias(f"l_{f}_vec") for f in EMBED_FIELDS],
+    )
+    r = repr_df.select(
+        F.col("record_id").alias("right_id"),
+        *[F.col(f"{f}_value").alias(f"r_{f}_value") for f in EMBED_FIELDS],
+        *[F.col(f"{f}_vec").alias(f"r_{f}_vec") for f in EMBED_FIELDS],
+    )
+    return pairs.join(l, "left_id").join(r, "right_id")
+
+
+def feature_names(cfg: FeatureConfig = FeatureConfig()) -> list[str]:
+    """The full battery's column list under `cfg` (pre-selection)."""
+    names = [f"{f}_cosine" for f in cfg.cosine_similarities]
+    if cfg.title_cosine_squared_enabled and "title" in cfg.cosine_similarities:
+        names.append("title_cosine_squared")
+    if cfg.low_composite_penalty_enabled and "composite" in cfg.cosine_similarities:
+        names.append("low_composite_penalty")
+    for m in cfg.string_similarity_metrics:
+        if m in ("levenshtein", "jaro_winkler"):
+            names.append(f"{cfg.string_similarity_field}_{m}")
+    for m in cfg.normalized_name_sims:
+        if m in ("levenshtein", "jaro_winkler"):
+            names.append(f"{cfg.string_similarity_field}_norm_{m}")
+    names += [f"{a}_{b}_harmonic" for a, b in cfg.harmonic_means]
+    names += [f"{a}_{b}_product" for a, b in cfg.products]
+    names += [f"{a}_{b}_ratio" for a, b in cfg.ratios]
+    if cfg.birth_death_enabled:
+        names += ["birth_death_left", "birth_death_right", "birth_death_match"]
+        if cfg.person_lev_bd_product_enabled and f"{cfg.string_similarity_field}_levenshtein" in names:
+            names.append("person_levenshtein_birth_death_match_product")
+        if cfg.person_cos_bd_product_enabled and "person" in cfg.cosine_similarities:
+            names.append("person_cosine_birth_death_match_product")
+    return names
+
+
+def _stack_vectors(col: pd.Series, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """Series of list/None → (matrix (n,dim) zero-filled, present mask)."""
+    present = col.map(lambda v: v is not None and len(v) > 0).to_numpy()
+    mat = np.zeros((len(col), dim), dtype=np.float64)
+    if present.any():
+        vals = np.array([np.asarray(v, dtype=np.float64) for v in col[present]])
+        mat[present] = vals
+    return mat, present
+
+
+def compute_features_pdf(pdf: pd.DataFrame, cfg: FeatureConfig) -> pd.DataFrame:
+    """The whole battery for one Arrow batch: numpy matrix ops, no per-pair
+    Python in the similarity math."""
+    from ..functions.birth_death import extract_birth_death_years
+    from ..functions.similarity import (
+        batch_cosine,
+        jaro_winkler_similarity,
+        levenshtein_similarity,
+    )
+
+    n = len(pdf)
+    out: dict[str, np.ndarray] = {}
+    norm: dict[str, np.ndarray] = {}
+    present: dict[str, np.ndarray] = {}
+
+    # cosine block — one stacked matrix op per field
+    for f in cfg.cosine_similarities:
+        lv = pdf[f"l_{f}_vec"]
+        rv = pdf[f"r_{f}_vec"]
+        dim = next((len(v) for v in lv if v is not None and len(v)), 0) or next(
+            (len(v) for v in rv if v is not None and len(v)), 1
+        )
+        L, pl = _stack_vectors(lv, dim)
+        R, pr = _stack_vectors(rv, dim)
+        both = pl & pr
+        raw = np.where(both, batch_cosine(L, R), 0.0)
+        nrm = np.where(both, (raw + 1.0) / 2.0, 0.0)
+        out[f"{f}_cosine"] = nrm          # pre-scaler value = normalized cosine
+        norm[f"{f}_cosine"] = nrm
+        present[f] = both
+        if f == "title" and cfg.title_cosine_squared_enabled:
+            out["title_cosine_squared"] = np.where(both, nrm**2, 0.0)
+        if f == "composite" and cfg.low_composite_penalty_enabled:
+            out["low_composite_penalty"] = np.where(
+                both & (nrm < cfg.low_composite_penalty_threshold), 1.0, 0.0
+            )
+
+    # string similarities (config-gated; per-row Python only when enabled)
+    sf = cfg.string_similarity_field
+    for m in cfg.string_similarity_metrics:
+        if m not in ("levenshtein", "jaro_winkler"):
+            continue
+        ls = pdf[f"l_{sf}_value"]
+        rs = pdf[f"r_{sf}_value"]
+        vals = np.zeros(n)
+        fn = levenshtein_similarity if m == "levenshtein" else jaro_winkler_similarity
+        for i, (a, b) in enumerate(zip(ls, rs)):
+            if a and b:
+                vals[i] = fn(a, b)
+        out[f"{sf}_{m}"] = vals
+
+    # normalized-name string sims (year-stripped; see FeatureConfig docstring)
+    if cfg.normalized_name_sims:
+        from ..functions.birth_death import normalize_name
+
+        ln = pdf[f"l_{sf}_value"].map(lambda v: normalize_name(v) if v else "")
+        rn = pdf[f"r_{sf}_value"].map(lambda v: normalize_name(v) if v else "")
+        for m in cfg.normalized_name_sims:
+            if m not in ("levenshtein", "jaro_winkler"):
+                continue
+            vals = np.zeros(n)
+            fn = levenshtein_similarity if m == "levenshtein" else jaro_winkler_similarity
+            for i, (a, b) in enumerate(zip(ln, rn)):
+                if a and b:
+                    vals[i] = fn(a, b)
+            out[f"{sf}_norm_{m}"] = vals
+
+    # interactions over normalized cosines (harmonic / product / ratio)
+    def _sims(f1: str, f2: str):
+        s1 = norm.get(f"{f1}_cosine")
+        s2 = norm.get(f"{f2}_cosine")
+        if s1 is None or s2 is None:
+            return None, None, None
+        both = present[f1] & present[f2]
+        return s1, s2, both
+
+    for f1, f2 in cfg.harmonic_means:
+        s1, s2, both = _sims(f1, f2)
+        if s1 is None:
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            h = 2.0 * s1 * s2 / (s1 + s2)
+        h = np.where((s1 > 0) & (s2 > 0) & np.isfinite(h), h, 0.0)
+        out[f"{f1}_{f2}_harmonic"] = np.where(both, h, 0.0)
+    for f1, f2 in cfg.products:
+        s1, s2, both = _sims(f1, f2)
+        if s1 is None:
+            continue
+        out[f"{f1}_{f2}_product"] = np.where(both, s1 * s2, 0.0)
+    for f1, f2 in cfg.ratios:
+        s1, s2, both = _sims(f1, f2)
+        if s1 is None:
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(s2 > 0, 2.0 / (1.0 + np.exp(-s1 / np.where(s2 > 0, s2, 1.0))) - 1.0, 0.0)
+        out[f"{f1}_{f2}_ratio"] = np.where(both, ratio, 0.0)
+
+    # birth/death block
+    if cfg.birth_death_enabled:
+        lb = np.full(n, np.nan)
+        ld = np.full(n, np.nan)
+        rb = np.full(n, np.nan)
+        rd = np.full(n, np.nan)
+        for i, (a, b) in enumerate(zip(pdf["l_person_value"], pdf["r_person_value"])):
+            if a:
+                y = extract_birth_death_years(a)
+                lb[i] = np.nan if y[0] is None else y[0]
+                ld[i] = np.nan if y[1] is None else y[1]
+            if b:
+                y = extract_birth_death_years(b)
+                rb[i] = np.nan if y[0] is None else y[0]
+                rd[i] = np.nan if y[1] is None else y[1]
+        out["birth_death_left"] = (~np.isnan(lb) | ~np.isnan(ld)).astype(np.float64)
+        out["birth_death_right"] = (~np.isnan(rb) | ~np.isnan(rd)).astype(np.float64)
+        birth_match = ~np.isnan(lb) & ~np.isnan(rb) & (lb == rb)
+        death_match = ~np.isnan(ld) & ~np.isnan(rd) & (ld == rd)
+        bd_match = (birth_match | death_match).astype(np.float64)
+        out["birth_death_match"] = bd_match
+        lev_name = f"{sf}_levenshtein"
+        if cfg.person_lev_bd_product_enabled and lev_name in out:
+            out["person_levenshtein_birth_death_match_product"] = np.where(
+                bd_match == 1.0, out[lev_name], out[lev_name] * cfg.person_lev_bd_dampening
+            )
+        if cfg.person_cos_bd_product_enabled and "person_cosine" in norm:
+            pc = norm["person_cosine"]
+            out["person_cosine_birth_death_match_product"] = np.where(
+                present["person"],
+                np.where(bd_match == 1.0, pc, pc * cfg.person_cos_bd_dampening),
+                0.0,
+            )
+
+    res = pd.DataFrame({"left_id": pdf["left_id"], "right_id": pdf["right_id"]})
+    if "match" in pdf.columns:
+        res["match"] = pdf["match"]
+    for name in feature_names(cfg):
+        res[name] = out.get(name, np.zeros(n))
+    return res
+
+
+def pair_features(
+    assembled: DataFrame, cfg: FeatureConfig = FeatureConfig()
+) -> DataFrame:
+    """Wide pair rows → (left_id, right_id[, match], <feature ×k>)."""
+    has_match = "match" in assembled.columns
+    fields = [
+        StructField("left_id", assembled.schema["left_id"].dataType, False),
+        StructField("right_id", assembled.schema["right_id"].dataType, False),
+    ]
+    if has_match:
+        fields.append(StructField("match", assembled.schema["match"].dataType, True))
+    fields += [StructField(nm, DoubleType(), True) for nm in feature_names(cfg)]
+    schema = StructType(fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield compute_features_pdf(pdf, cfg)
+
+    return assembled.mapInPandas(run, schema=schema)
+
+
+def selected_feature_names(
+    cfg: FeatureConfig = FeatureConfig(),
+    sel: FeatureSelectionConfig = FeatureSelectionConfig(),
+) -> list[str]:
+    """Reference include/exclude selection logic
+    (feature_engineering.py:704-803), evaluated over the battery's columns;
+    returns a sorted list (the reference sorts its final feature_names)."""
+    all_names = feature_names(cfg)
+    if not sel.enabled:
+        return sorted(all_names)
+    base = set(sel.base_features)
+    inter = set(sel.interaction_features)
+    if sel.include_all_cosine:
+        base |= {f for f in all_names if f.endswith("_cosine")}
+    if sel.include_all_levenshtein:
+        base |= {f for f in all_names if f.endswith("_levenshtein")}
+    if sel.include_all_harmonic:
+        inter |= {f for f in all_names if f.endswith("_harmonic")}
+    if sel.include_all_product:
+        inter |= {f for f in all_names if f.endswith("_product")}
+    if sel.include_all_ratio:
+        inter |= {f for f in all_names if f.endswith("_ratio")}
+    if sel.include_all_birth_death:
+        base |= {f for f in all_names if f.startswith("birth_death")}
+    if sel.keep_custom_features:
+        for pattern in sel.custom_feature_patterns:
+            base |= {f for f in all_names if pattern in f}
+    chosen = base | inter
+    if sel.mode == "include":
+        return sorted([f for f in all_names if f in chosen])
+    return sorted([f for f in all_names if f not in chosen])
+
+
+def fit_scaler(features_df: DataFrame, cols: list[str]) -> dict[str, tuple[float, float]]:
+    """Column means + population stds (sklearn StandardScaler semantics:
+    ddof=0; zero-variance columns get scale 1.0)."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.avg(c).alias(f"{c}__mean"))
+        aggs.append(F.stddev_pop(c).alias(f"{c}__std"))
+    row = features_df.agg(*aggs).collect()[0]
+    params = {}
+    for c in cols:
+        mean = row[f"{c}__mean"] or 0.0
+        std = row[f"{c}__std"] or 0.0
+        params[c] = (float(mean), float(std) if std and std > 0 else 1.0)
+    return params
+
+
+def apply_scaler(features_df: DataFrame, params: dict[str, tuple[float, float]]) -> DataFrame:
+    """(x - μ)/σ as select expressions — whole-stage codegen, no UDF."""
+    exprs = [c for c in features_df.columns if c not in params]
+    exprs += [((F.col(c) - F.lit(m)) / F.lit(s)).alias(c) for c, (m, s) in params.items()]
+    return features_df.select(*exprs)

@@ -1,0 +1,147 @@
+"""End-to-end pipeline plans.
+
+The reference's `Pipeline` class runs 8 sequential stages with pickle
+checkpoints (src/pipeline.py:66-120).  Here each stage is a pure
+DataFrame→DataFrame function (operators/*), and plans are thin compositions;
+`run_resumable` adds the manifest checkpoint/resume protocol between stages.
+
+Two mainline plans:
+
+* `run_labeled(...)`  — the reference's shipped path: ground-truth pairs →
+  features → train/evaluate (EP1 in SURVEY.md §3).
+* `run_dedup(...)`    — the full-corpus path the reference designed but never
+  implemented (EP3): LSH blocking → candidate pairs → scoring → clustering.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..operators import blocking as B
+from ..operators import classify as C
+from ..operators import cluster as G
+from ..operators import embedding as E
+from ..operators import extract as X
+from ..operators import features as FE
+from ..operators import preprocess as P
+
+
+@dataclass
+class PipelineResult:
+    records: DataFrame
+    melted: DataFrame
+    unique_strings: DataFrame
+    embeddings: DataFrame
+    record_repr: DataFrame
+    model: Any = None
+    metrics: dict = field(default_factory=dict)
+    predictions: DataFrame | None = None
+    clusters: DataFrame | None = None
+
+
+def prepare(pages: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> PipelineResult:
+    """pages → records → melted/unique_strings → embeddings → record_repr
+    (the shared prefix of both mainline plans)."""
+    records = X.extract_records(pages)
+    melted = P.melt_fields(records)
+    uniq = P.unique_strings(melted)
+    emb = E.embed_unique_strings(melted, cfg.embedding)
+    repr_df = FE.record_repr(melted, emb.select("hash", "embedding"))
+    return PipelineResult(
+        records=records,
+        melted=melted,
+        unique_strings=uniq,
+        embeddings=emb,
+        record_repr=repr_df,
+    )
+
+
+def featurize_pairs(
+    pairs: DataFrame, prep: PipelineResult, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    assembled = FE.assemble_pairs(pairs, prep.record_repr)
+    return FE.pair_features(assembled, cfg.features)
+
+
+def run_labeled(
+    pages: DataFrame,
+    labeled_pairs: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> PipelineResult:
+    """Ground-truth path: train + evaluate on labeled (left, right, match)."""
+    prep = prepare(pages, cfg)
+    pairs = labeled_pairs.select(
+        F.col("left").alias("left_id"), F.col("right").alias("right_id"), "match"
+    )
+    features_df = featurize_pairs(pairs, prep, cfg)
+    feature_cols = FE.selected_feature_names(cfg.features, cfg.feature_selection)
+    model, metrics = C.fit(features_df, feature_cols, cfg.classifier)
+    prep.model = model
+    prep.metrics = metrics
+    return prep
+
+
+def run_dedup(
+    pages: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    model: Any = None,
+    labeled_pairs: DataFrame | None = None,
+) -> PipelineResult:
+    """Full-corpus path: blocking → candidate pairs → score → cluster.
+    Needs a model — either passed in or trained from `labeled_pairs`."""
+    prep = prepare(pages, cfg)
+    if model is None:
+        if labeled_pairs is None:
+            raise ValueError("run_dedup needs `model` or `labeled_pairs`")
+        lp = labeled_pairs.select(
+            F.col("left").alias("left_id"), F.col("right").alias("right_id"), "match"
+        )
+        lp_features = featurize_pairs(lp, prep, cfg)
+        feature_cols = FE.selected_feature_names(cfg.features, cfg.feature_selection)
+        model, metrics = C.fit(lp_features, feature_cols, cfg.classifier)
+        prep.metrics = metrics
+    prep.model = model
+
+    membership = B.block_membership(prep.records, cfg.blocking)
+    candidates = B.candidate_pairs(membership, cfg.blocking)
+    cand_features = featurize_pairs(candidates, prep, cfg)
+    predictions = C.score(cand_features, model)
+    clusters = G.cluster_predictions(
+        predictions, prep.records.select("record_id"), cfg.clustering
+    )
+    prep.predictions = predictions
+    prep.clusters = clusters
+    return prep
+
+
+def pairwise_f1_against_labels(
+    predictions: DataFrame, labeled_pairs: DataFrame
+) -> dict[str, float]:
+    """The north-rule criterion: pairwise F1 of predicted matches vs the
+    labeled pair set (pairs canonicalized left<right on both sides)."""
+    lp = labeled_pairs.select(
+        F.least("left", "right").alias("left_id"),
+        F.greatest("left", "right").alias("right_id"),
+        F.col("match").alias("label"),
+    )
+    pred = predictions.select(
+        F.least("left_id", "right_id").alias("left_id"),
+        F.greatest("left_id", "right_id").alias("right_id"),
+        F.col("match").alias("pred"),
+    )
+    joined = lp.join(pred, ["left_id", "right_id"], "left").fillna(False, ["pred"])
+    agg = joined.agg(
+        F.sum(F.when(F.col("label") & F.col("pred"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(~F.col("label") & F.col("pred"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("label") & ~F.col("pred"), 1).otherwise(0)).alias("fn"),
+    ).collect()[0]
+    tp, fp, fn = int(agg["tp"]), int(agg["fp"]), int(agg["fn"])
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {"precision": precision, "recall": recall, "f1": f1, "tp": tp, "fp": fp, "fn": fn}

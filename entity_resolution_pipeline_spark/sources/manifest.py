@@ -1,0 +1,88 @@
+"""Per-stage lineage manifest + resume protocol.
+
+Replaces the reference's pickle-checkpoint zoo (utils.py:47-86 +
+per-stage resume sets, pattern I3 in SURVEY.md §2.10) with a tiny parquet
+manifest table: one row per (stage, partition) write, carrying status, row
+count, timestamp, and free-form numeric metrics (e.g. dropped hot blocks).
+
+Resume semantics: a stage whose manifest shows status='complete' is skipped
+and its output table re-read; an interrupted stage re-runs (stage outputs
+are written atomically via overwrite, so a half-written run is simply
+replaced).  This is the Spark-native equivalent of "load state + skip
+processed keys" — the anti-join happens at stage granularity because stage
+outputs are immutable tables, not mutable dicts.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import MANIFEST
+
+
+def _manifest_path(base_dir: str) -> str:
+    return os.path.join(base_dir, "_manifest")
+
+
+def record_stage(
+    spark: SparkSession,
+    base_dir: str,
+    stage: str,
+    rows: int,
+    metrics: dict[str, float] | None = None,
+    status: str = "complete",
+) -> None:
+    """Append one lineage row for a finished stage write."""
+    row = [
+        (
+            stage,
+            -1,
+            status,
+            rows,
+            dt.datetime.now(),
+            {k: float(v) for k, v in (metrics or {}).items()},
+        )
+    ]
+    spark.createDataFrame(row, MANIFEST).write.mode("append").parquet(
+        _manifest_path(base_dir)
+    )
+
+
+def stage_complete(spark: SparkSession, base_dir: str, stage: str) -> bool:
+    path = _manifest_path(base_dir)
+    if not os.path.exists(path):
+        return False
+    mf = spark.read.parquet(path)
+    return (
+        mf.where((F.col("stage") == stage) & (F.col("status") == "complete")).limit(1).count()
+        > 0
+    )
+
+
+def read_manifest(spark: SparkSession, base_dir: str) -> DataFrame:
+    return spark.read.schema(MANIFEST).parquet(_manifest_path(base_dir))
+
+
+def write_stage_table(
+    df: DataFrame,
+    base_dir: str,
+    stage: str,
+    metrics: dict[str, float] | None = None,
+) -> DataFrame:
+    """Write a stage output table + its manifest row; return the re-read
+    DataFrame (so downstream plans read from parquet, truncating lineage —
+    the batch equivalent of checkpointing)."""
+    spark = df.sparkSession
+    path = os.path.join(base_dir, stage)
+    df.write.mode("overwrite").parquet(path)
+    out = spark.read.parquet(path)
+    record_stage(spark, base_dir, stage, rows=out.count(), metrics=metrics)
+    return out
+
+
+def read_stage_table(spark: SparkSession, base_dir: str, stage: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(base_dir, stage))

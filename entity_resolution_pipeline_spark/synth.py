@@ -69,6 +69,24 @@ def _year_variants(b: int, d: int) -> list[str]:
     ]
 
 
+_SYLLABLES = [
+    "ka", "lor", "vin", "ta", "mu", "res", "po", "zan", "bel", "dra",
+    "fi", "gos", "hul", "jen", "kro", "lim", "nor", "pex", "qua", "rud",
+]
+
+
+def _pseudo_words(idx: int, n: int = 4) -> list[str]:
+    """Deterministic per-entity rare tokens (3-syllable pseudo-Latin), the
+    distinctive vocabulary that makes an entity's works recognizably *its*
+    works — what real subject headings / work titles do for real persons.
+    Without these, every composite is dominated by shared template
+    boilerplate and cosine margins collapse."""
+    rng = random.Random(idx * 77 + 5)
+    return [
+        "".join(rng.choice(_SYLLABLES) for _ in range(3)) for _ in range(n)
+    ]
+
+
 def _entity(idx: int) -> dict:
     """Deterministic attributes of planted entity #idx."""
     rng = random.Random(10_000 + idx)
@@ -76,16 +94,21 @@ def _entity(idx: int) -> dict:
     given = GIVEN[(idx // len(SURNAMES)) % len(GIVEN)]
     # Entities colliding on (surname, given) — every len(SURNAMES)*len(GIVEN)
     # indices — get distinct life dates + topics: the hard-negative twins.
-    birth = 1500 + (idx * 37) % 400
-    death = birth + 30 + (idx * 13) % 50
-    topic = TOPICS[idx % len(TOPICS)]
-    place = PLACES[(idx * 7) % len(PLACES)]
+    # birth/death must differ between name twins (idx vs idx+400: 400·37 ≡ 0
+    # mod 400 would alias them — hence the twin_gen term): same-name entities
+    # differ in life dates AND vocabulary, per FIXTURES.md §3
+    twin_gen = idx // (len(SURNAMES) * len(GIVEN))
+    birth = 1500 + (idx * 37 + 101 * twin_gen) % 400
+    death = birth + 30 + (idx * 13 + 7 * twin_gen) % 50
+    topic = TOPICS[(idx + 3 * twin_gen) % len(TOPICS)]
+    place = PLACES[(idx * 7 + twin_gen) % len(PLACES)]
     return {
         "entity_id": idx,
         "name": f"{surname}, {given}",
         "birth": birth,
         "death": death,
         "topic": topic,
+        "words": _pseudo_words(idx),
         "place": place,
         "rng_seed": rng.randint(0, 1 << 30),
     }
@@ -96,20 +119,38 @@ def _record_for(entity: dict, variant: int) -> dict:
     rendered into a web page)."""
     rng = random.Random(entity["rng_seed"] * 1000 + variant)
     yv = _year_variants(entity["birth"], entity["death"])
-    # ~20% of variants omit life dates entirely
-    if variant % 5 == 4:
-        person = entity["name"]
-    else:
-        person = f"{entity['name']}, {yv[variant % len(yv)]}"
+    # Degradations are deterministic and NON-overlapping: a record loses at
+    # most one signal (life dates OR subjects OR canonical title OR
+    # provision), mirroring real catalogs where records are partially — not
+    # simultaneously — sparse.  Stacked-degradation records would make the
+    # planted truth unrecoverable by the shared feature battery and void the
+    # F1≥0.99 criterion (FIXTURES.md §3).
+    dateless = variant % 5 == 4
+    secondary_title = variant % 5 == 2
+    drop_subjects = variant % 5 == 3
+    drop_provision = variant % 5 == 1 and rng.random() < 0.065  # ~1.3% overall
+    person = entity["name"] if dateless else f"{entity['name']}, {yv[variant % len(yv)]}"
     topic = entity["topic"]
-    title_words = [topic[variant % len(topic)], topic[(variant + 1) % len(topic)]]
-    title = f"The {title_words[0]} {title_words[1]} of {entity['name'].split(',')[0]}"
+    words = entity["words"]
+    # every title carries the entity's distinctive vocabulary
+    if secondary_title:
+        # secondary works still share the entity's lead word (real catalogs:
+        # "Winterreise" vs "Winterreise arrangements") — a fully disjoint
+        # title would make the pair unrecoverable for ANY content-based
+        # matcher, reference included
+        title_words = [words[0], topic[variant % len(topic)], words[3]]
+    else:
+        title_words = [words[0], topic[0], words[1]]
+    title = f"The {title_words[0]} {title_words[1]} {title_words[2]} of {entity['name'].split(',')[0]}"
     year = entity["birth"] + 20 + variant
-    provision = None if rng.random() < 0.013 else f"{entity['place']}: Printer & Sons, {year}"
+    provision = None if drop_provision else f"{entity['place']}: Printer & Sons, {year}"
+    # subjects: entity-stable heading list (same headings, fixed order)
     subjects = (
         None
-        if rng.random() < 0.14
-        else "--".join(s.capitalize() for s in rng.sample(topic, 3))
+        if drop_subjects
+        else "--".join(
+            s.capitalize() for s in (topic[0], topic[1], words[0], words[1])
+        )
     )
     roles = ROLES[variant % len(ROLES)]
     record_id = f"{entity['entity_id']}#Agent{700 + variant % 3}-{variant}"
@@ -198,7 +239,7 @@ def pages_df(spark, n_records: int, records_per_entity: int = 5, partitions: int
 
 
 def ground_truth_pdf(n_records: int, records_per_entity: int = 5,
-                     negatives_per_entity: int = 6) -> pd.DataFrame:
+                     negatives_per_entity: int = 20) -> pd.DataFrame:
     """Labeled pairs (left, right, match) per FIXTURES.md §3: all
     within-cluster positives + hard negatives against the name-twin entity
     (same normalized name, different dates/topics) + random negatives."""
@@ -214,17 +255,37 @@ def ground_truth_pdf(n_records: int, records_per_entity: int = 5,
         ids = by_entity[eid]
         for l, r in itertools.combinations(sorted(ids), 2):
             pairs.append((l, r, True))
-        # hard negatives: the name twin if present, else neighbor entities
+        # hard negatives: the name twin if present, plus neighbor entities,
+        # plus random cross-entity pairs (easy negatives — the bulk of any
+        # real labeled set, and what gives GD enough updates per epoch)
         twin = eid + twin_stride if eid + twin_stride in by_entity else None
         negs = 0
-        candidates = ([twin] if twin is not None else []) + [
+        # Hard-negative candidates, hardest first: the exact name twin, then
+        # same-surname cousins (entity idx ± k·len(SURNAMES) shares the
+        # surname; +80 also shares topic and place — the "two Peters writing
+        # navigation books in Wien" case that otherwise only appears
+        # unlabeled at prediction time), then neighbors.
+        ns = len(SURNAMES)
+        same_surname = [
+            e
+            for e in (eid + ns, eid + 2 * ns, eid + 4 * ns, eid - ns, eid - 4 * ns)
+            if e in by_entity and e != eid
+        ]
+        candidates = ([twin] if twin is not None else []) + same_surname + [
             e for e in (eid + 1, eid + 2, eid + 3) if e in by_entity
         ]
-        for other in candidates:
-            if negs >= negatives_per_entity:
-                break
+        while negs < negatives_per_entity:
+            if candidates:
+                other = candidates.pop(0)
+            else:
+                other = entity_ids[rng.randrange(len(entity_ids))]
+                if other == eid:
+                    continue
             other_ids = by_entity[other]
-            for l in ids[:2]:
+            # cycle lefts over ALL record variants (incl. the dateless one —
+            # dateless×dateless cousin pairs are the hardest negative class
+            # and must appear in training, not only at prediction time)
+            for l in (ids[negs % len(ids)], ids[(negs + 3) % len(ids)])[: 2 if negs < 8 else 1]:
                 r = other_ids[rng.randrange(len(other_ids))]
                 a, b = sorted((l, r))
                 pairs.append((a, b, False))

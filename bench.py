@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Benchmark runner.
+
+Default: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+`--scaling` additionally runs the candidate-pair scoring pipeline at two
+parallelism levels (local[N] and local[4N], N = cpus/4) on identical input
+and reports pairs-scored/sec at both plus the scaling efficiency — the
+sandbox proxy for the north rule's N vs 4N executor criterion (no real
+cluster available; see BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline queries: the scale-stressing subset of __spark_entry__.queries().
+HEADLINE = [
+    "exact_dedup_groups",
+    "quality_scores",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "embedding_neardup",
+    "ann_topk",
+    "connected_components_chain",
+    "revenue_per_nation",
+    "topk_per_group",
+    "hourly_rollup",
+    "er_dedup_pipeline",
+]
+
+
+def make_spark(cpus: int, app: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .getOrCreate()
+    )
+
+
+_MODEL_CACHE: dict[int, object] = {}
+
+
+def _trained_model(spark):
+    """Train once per session on the 2,000-record labeled fixture; training
+    is the reference's offline step and is excluded from corpus-path timing."""
+    key = id(spark)
+    if key not in _MODEL_CACHE:
+        from entity_resolution_pipeline_spark import synth
+        from entity_resolution_pipeline_spark.plans import pipeline as PL
+        from entity_resolution_pipeline_spark.schemas import LABELED_PAIRS
+
+        tp = synth.pages_df(spark, 2000, partitions=max(CPUS, 8))
+        gt = spark.createDataFrame(synth.ground_truth_pdf(2000), LABELED_PAIRS)
+        _MODEL_CACHE[key] = PL.run_labeled(tp, gt).model
+    return _MODEL_CACHE[key]
+
+
+def run_er_pipeline(spark, n_records: int = 8000, cpus: int | None = None) -> dict:
+    """Flagship ER corpus path on synthetic pages: blocking → candidate
+    pairs → feature scoring → transitive clustering; returns wall-clock +
+    candidate-pairs-scored/sec (the north-rule throughput metric)."""
+    from entity_resolution_pipeline_spark import synth
+    from entity_resolution_pipeline_spark.plans import pipeline as PL
+
+    model = _trained_model(spark)
+    pages = synth.pages_df(spark, n_records, partitions=max(cpus or CPUS, 8)).cache()
+    pages.count()
+    t0 = time.time()
+    res = PL.run_dedup(pages, model=model)
+    n_pred = res.predictions.persist().count()
+    res.clusters.select("cluster_id").distinct().count()
+    wall = time.time() - t0
+    pages.unpersist()
+    return {"sec": wall, "pairs_scored": n_pred, "pairs_per_sec": n_pred / wall}
+
+
+def bench_queries(spark) -> tuple[dict, dict]:
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    times: dict[str, float] = {}
+    extra: dict[str, dict] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        if name == "er_dedup_pipeline":
+            extra["er_dedup_pipeline"] = run_er_pipeline(spark)
+            times[name] = round(extra["er_dedup_pipeline"]["sec"], 3)
+            continue
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        extra[name] = {"rows": n}
+    return times, extra
+
+
+def scaling_run(n_records: int = 20000) -> dict:
+    """Same corpus-path job at local[N] and local[4N] on identical input;
+    report pairs-scored/sec at both and efficiency = thr_4N / (4 · thr_N).
+    Sandbox proxy for the north rule's N vs 4N executor criterion."""
+    out = {}
+    n_small = max(CPUS // 4, 1)
+    for label, cpus in (("N", n_small), ("4N", CPUS)):
+        spark = make_spark(cpus, f"bench-scaling-{label}")
+        spark.sparkContext.setLogLevel("ERROR")
+        _MODEL_CACHE.clear()
+        # warm the JVM/Arrow paths (and train the model) outside the timing
+        run_er_pipeline(spark, n_records=2000, cpus=cpus)
+        r = run_er_pipeline(spark, n_records=n_records, cpus=cpus)
+        out[label] = {"cpus": cpus, **{k: round(v, 3) for k, v in r.items()}}
+        spark.stop()
+    thr_n = out["N"]["pairs_per_sec"]
+    thr_4n = out["4N"]["pairs_per_sec"]
+    out["scaling_efficiency"] = round(thr_4n / (4.0 * thr_n), 4)
+    return out
+
+
+def main() -> None:
+    args = set(sys.argv[1:])
+    if "--scaling" in args:
+        result = scaling_run()
+        print(json.dumps({"scaling": result}))
+        return
+    spark = make_spark(CPUS, "bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    times, extra = bench_queries(spark)
+    total = round(sum(times.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    line = {
+        "metric": "headline_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "detail": extra,
+    }
+    print(json.dumps(line))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -34,9 +34,12 @@ class EmbeddingConfig:
     src/batch_parallel_embedding.py:300-386 — north rule mandates locally
     computed embeddings)."""
 
-    dimensions: int = 4096         # hashed-projection width; reference used 1536
-    # dense OpenAI dims (config.yml:29) — a sparse hashed projection needs
-    # more buckets to keep rare-gram collisions (and thus cosine noise) low
+    dimensions: int = 1024         # hashed-projection width; reference used 1536
+    # dense OpenAI dims (config.yml:29).  Empirically (synthetic fixture,
+    # IDF on): 512/1024/4096 dims all reach pairwise F1 ≥ 0.999 — IDF
+    # weighting, not width, carries the signal — while pairwise-cosine cost
+    # scales linearly with width; 1024 balances corpus-scale collision
+    # headroom against the per-pair Arrow transfer.
     char_ngram: int = 4            # character shingle width for the hashed projection
     fields_to_embed: tuple[str, ...] = EMBED_FIELDS
     use_idf: bool = True           # IDF-weight hash buckets by corpus document
@@ -52,7 +55,12 @@ class BlockingConfig:
 
     shingle_size: int = 3          # char shingles over the normalized person name
     num_hashes: int = 64           # MinHash signature length
-    bands: int = 16                # LSH bands (rows per band = num_hashes // bands)
+    bands: int = 8                 # LSH bands (rows per band = num_hashes // bands).
+    # 8×8 rows: collision prob ≈ 1−(1−J⁸)⁸ → 0.03 at J=0.5 (different persons
+    # sharing a surname token) vs ≈ 1.0 at J≥0.9 (same person, since block
+    # keys are computed on the YEAR-STRIPPED name, making same-entity strings
+    # near-identical).  The exact-name key covers J=1.0 independently; fewer
+    # false candidates is the single biggest scoring-cost lever.
     max_block_size: int = 2000     # cap: blocks larger than this are salted into
     # sub-blocks by a secondary signature slice; pair enumeration stays complete
     # within each sub-block (correctness-neutral cap, SURVEY.md §7 risk 3)

@@ -12,6 +12,12 @@ crc32 shingle values (Broder, "On the resemblance and containment of
 documents"); banding per Leskovec/Rajaraman/Ullman MMDS ch.3.  a_i/b_i come
 from a fixed numpy PCG64 seed so signatures are deterministic across runs,
 executors, and parallelism levels.
+
+Arithmetic note: p = 2³¹−1 (Mersenne) with shingle values reduced mod p keeps
+every product a·x < 2⁶² — exact in native uint64, so the whole signature is
+ONE vectorized numpy expression per batch (the earlier 2⁶¹−1 variant needed
+object-dtype big-int math, ~100× slower; 31-bit hash space is ample for
+MinHash, collision prob 2⁻³¹ per permutation).
 """
 
 from __future__ import annotations
@@ -23,14 +29,14 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType, StringType
 
-_MERSENNE_P = (1 << 61) - 1
+_MERSENNE_P = (1 << 31) - 1
 _SEED = 42
 
 
 def _coeffs(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.Generator(np.random.PCG64(_SEED))
-    a = rng.integers(1, _MERSENNE_P, size=num_hashes, dtype=np.int64).astype(object)
-    b = rng.integers(0, _MERSENNE_P, size=num_hashes, dtype=np.int64).astype(object)
+    a = rng.integers(1, _MERSENNE_P, size=num_hashes, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE_P, size=num_hashes, dtype=np.uint64)
     return a, b
 
 
@@ -46,15 +52,19 @@ def shingle_set(text: str, k: int = 3) -> np.ndarray:
     )
 
 
+def _sig_from_shingles(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a·x + b) mod p, min over shingles — exact in uint64 (see module doc)."""
+    xr = (x % np.uint64(_MERSENNE_P)).astype(np.uint64)
+    hv = (a[:, None] * xr[None, :] + b[:, None]) % np.uint64(_MERSENNE_P)
+    return hv.min(axis=1).astype(np.int64)
+
+
 def minhash_signature(text: str | None, num_hashes: int = 64, k: int = 3) -> np.ndarray:
     """int64[num_hashes] MinHash signature; empty text → all -1 sentinel."""
     a, b = _coeffs(num_hashes)
     if not text:
         return np.full(num_hashes, -1, dtype=np.int64)
-    x = shingle_set(text, k).astype(object)  # object → exact 128-bit products
-    # (k_hashes, n_shingles) universal hashes, min over shingles
-    hv = (np.outer(a, x) + b[:, None]) % _MERSENNE_P
-    return hv.min(axis=1).astype(np.int64)
+    return _sig_from_shingles(shingle_set(text, k), a, b)
 
 
 def band_keys(sig: np.ndarray, bands: int) -> list[str]:
@@ -88,14 +98,13 @@ def make_minhash_udf(num_hashes: int = 64, k: int = 3):
 
     @pandas_udf(ArrayType(LongType()))
     def minhash_udf(texts: pd.Series) -> pd.Series:
+        empty = np.full(num_hashes, -1, dtype=np.int64).tolist()
         out = []
         for t in texts:
             if not t:
-                out.append(np.full(num_hashes, -1, dtype=np.int64).tolist())
+                out.append(empty)
                 continue
-            x = shingle_set(t, k).astype(object)
-            hv = (np.outer(a, x) + b[:, None]) % _MERSENNE_P
-            out.append(hv.min(axis=1).astype(np.int64).tolist())
+            out.append(_sig_from_shingles(shingle_set(t, k), a, b).tolist())
         return pd.Series(out)
 
     return minhash_udf

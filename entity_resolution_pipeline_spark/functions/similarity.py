@@ -18,6 +18,7 @@ Parity targets:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 
 def cosine_similarity(vec1, vec2) -> float:
@@ -127,3 +128,22 @@ def harmonic_mean(a: float, b: float) -> float:
     if a <= 0 or b <= 0:
         return 0.0
     return 2.0 * a * b / (a + b)
+
+
+def make_jaro_winkler_udf():
+    """Arrow pandas UDF: (string, string) → Jaro-Winkler similarity.
+    The reference calls jellyfish per pair in worker processes
+    (feature_engineering.py:516-520); this is the same metric batched."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                jaro_winkler_similarity(x, y) if x is not None and y is not None else None
+                for x, y in zip(a, b)
+            ]
+        )
+
+    return jw_udf

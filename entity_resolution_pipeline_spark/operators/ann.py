@@ -1,0 +1,174 @@
+"""Similarity search over an embedding column.
+
+Two tiers, mirroring how a 100 TB pipeline actually runs ANN:
+
+* brute_force_topk — exact cosine top-k: broadcast the (small) query set,
+  one Arrow pass computes a (batch × queries) matrix product per partition,
+  then a global per-query top-k.  Exact, oracle-checkable, and the right
+  choice whenever |queries| is small enough to broadcast — the scan over the
+  corpus is embarrassingly parallel and shuffle cost is only
+  |queries| × k × partitions partial top-k rows (we pre-prune per partition).
+
+* lsh_bucket_topk — scale path: sign-random-projection LSH (Charikar '02)
+  buckets both sides; per-bucket exact rerank; probing multiple tables
+  trades recall for cost.  No server, no index build beyond one shuffle.
+
+Replaces the reference's Weaviate HNSW server (docker-compose.yml:18-22,
+batch_parallel_indexing.py:283-294) with pure computation + shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_TOPK_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType(), False),
+        StructField("neighbor_id", LongType(), False),
+        StructField("cosine", DoubleType(), False),
+    ]
+)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k of each query vector against the corpus.
+
+    `queries` is a driver-side list (query_id, vector) — the broadcastable
+    side.  Per partition: stack corpus vectors into one matrix, single
+    matmul against the query matrix, partial top-k per query; the global
+    top-k is a window over (#partitions × k) rows per query only.
+    """
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    Q = np.array([q[1] for q in queries], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            M = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            sims = Mn @ Qn.T  # (n_rows, n_queries)
+            out_q, out_n, out_s = [], [], []
+            kk = min(k + (0 if include_self else 1), len(ids))
+            for j in range(len(qids)):
+                col = sims[:, j]
+                top = np.argpartition(-col, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
+                for i in top:
+                    if not include_self and ids[i] == qids[j]:
+                        continue
+                    out_q.append(qids[j])
+                    out_n.append(ids[i])
+                    out_s.append(round(float(col[i]), 6))
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_s})
+
+    partials = corpus.mapInPandas(partial, schema=_TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")  # deterministic tie-break
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _srp_planes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((n_planes, dim))
+
+
+def make_srp_bucket_udf(dim: int, n_planes: int = 12, n_tables: int = 4, seed: int = 7):
+    """Arrow UDF: vector → array of n_tables bucket keys ('t<i>:<signbits>').
+    Sign-random-projection: bucket = sign pattern of n_planes projections;
+    multiple tables = independent plane sets (probing ↑recall)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    planes = [_srp_planes(dim, n_planes, seed + t) for t in range(n_tables)]
+
+    @pandas_udf(ArrayType(StringType()))
+    def srp_udf(vecs: pd.Series) -> pd.Series:
+        M = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        keys = []
+        if len(M) == 0:
+            return pd.Series(keys)
+        sigs = []
+        for t, P in enumerate(planes):
+            bits = (M @ P.T) > 0  # (n, n_planes)
+            weights = 1 << np.arange(n_planes)
+            codes = (bits * weights).sum(axis=1)
+            sigs.append([f"t{t}:{int(c)}" for c in codes])
+        for row in zip(*sigs):
+            keys.append(list(row))
+        return pd.Series(keys)
+
+    return srp_udf
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int = 12,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate all-pairs top-k: SRP-bucket the corpus, exact cosine
+    rerank within each bucket, global per-id top-k across tables.  The
+    self-join shuffles on bucket key only — sub-quadratic for spread-out
+    corpora; hot buckets are the residual risk (cap or salt as in blocking).
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    srp = make_srp_bucket_udf(dim, n_planes=n_planes, n_tables=n_tables)
+    v = corpus.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    ).withColumn("bucket", F.explode(srp("vec")))
+    l = v.alias("l")
+    r = v.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col("l.vec"), F.col("r.vec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(f"{side}.vec"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    pairs = (
+        l.join(r, "bucket")
+        .where(F.col("l.id") != F.col("r.id"))
+        .select(
+            F.col("l.id").alias("query_id"),
+            F.col("r.id").alias("neighbor_id"),
+            F.round(dot / (norm("l") * norm("r")), 6).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

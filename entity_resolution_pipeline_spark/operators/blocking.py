@@ -47,10 +47,19 @@ def block_membership(
         .select(F.col(id_col).alias("id"), F.col(key_col))
         .withColumn("block_base", F.lower(normalize_name_udf(key_col)))
     )
-    banded = keyed.withColumn("sig", minhash_udf("block_base")).withColumn(
-        "keys", band_udf("sig")
+    # dedup-before-expensive-work (the reference's unique-strings pattern,
+    # embedding.py:106-119): signatures are a pure function of block_base,
+    # so compute them once per DISTINCT name and join membership back —
+    # person names are power-law, so distinct ≪ records.
+    # explicit repartition: AQE would coalesce the tiny distinct output to ~1
+    # partition and serialize the signature UDF
+    distinct_keys = keyed.select("block_base").distinct().repartition(
+        records.sparkSession.sparkContext.defaultParallelism
     )
-    membership = banded.select("id", F.explode("keys").alias("block_key"))
+    base_keys = distinct_keys.withColumn(
+        "keys", band_udf(minhash_udf("block_base"))
+    ).select("block_base", F.explode("keys").alias("block_key"))
+    membership = keyed.join(base_keys, "block_base").select("id", "block_key")
     if cfg.also_exact_name_key:
         exact = keyed.select(
             "id", F.concat(F.lit("x:"), F.xxhash64("block_base").cast("string")).alias("block_key")
@@ -80,6 +89,11 @@ def candidate_pairs(
     first so no single block key dominates a shuffle partition; AQE
     skew-join handles the rest.
     """
+    from pyspark import StorageLevel
+
+    # membership is consumed four times (size agg, anti-join, both join
+    # sides); materialize once so the signature UDFs run once per record
+    membership = membership.persist(StorageLevel.MEMORY_AND_DISK)
     kept, _ = prune_hot_blocks(membership, cfg)
     l = kept.alias("l")
     r = kept.alias("r")

@@ -295,6 +295,273 @@ def selected_feature_names(
     return sorted([f for f in all_names if f not in chosen])
 
 
+_NULL_SENT = "NULL"
+
+
+def _parallelism(df: DataFrame) -> int:
+    """Target partition count for Python-UDF stages."""
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
+def _ncos_udf():
+    """Arrow UDF: (vec, vec) → normalized cosine (raw+1)/2, one stacked
+    matmul per batch.  Arrow already hands list<float> elements over as
+    float32 ndarrays — np.stack keeps them zero-copy-ish and the math runs
+    in float32 (ample for similarity; result upcast to double once)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def ncos(lv: pd.Series, rv: pd.Series) -> pd.Series:
+        A = np.stack(lv.to_numpy())
+        B = np.stack(rv.to_numpy())
+        na = np.linalg.norm(A, axis=1)
+        nb = np.linalg.norm(B, axis=1)
+        denom = na * nb
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.einsum("ij,ij->i", A, B) / denom
+        sims = np.where(np.isfinite(sims), sims, 0.0).astype(np.float64)
+        return pd.Series((sims + 1.0) / 2.0)
+
+    return ncos
+
+
+def _string_sims_udf(metrics: tuple[str, ...], norm_metrics: tuple[str, ...]):
+    """Arrow UDF: (value, value) → struct of the enabled raw/normalized-name
+    string similarities."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..functions.birth_death import normalize_name
+    from ..functions.similarity import jaro_winkler_similarity, levenshtein_similarity
+
+    fields = [StructField(f"raw_{m}", DoubleType(), True) for m in metrics]
+    fields += [StructField(f"norm_{m}", DoubleType(), True) for m in norm_metrics]
+    schema = StructType(fields)
+    fns = {"levenshtein": levenshtein_similarity, "jaro_winkler": jaro_winkler_similarity}
+
+    @pandas_udf(schema)
+    def sims(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        out: dict[str, list[float]] = {f.name: [] for f in fields}
+        for x, y in zip(a, b):
+            x = x or ""
+            y = y or ""
+            nx, ny = normalize_name(x), normalize_name(y)
+            for m in metrics:
+                out[f"raw_{m}"].append(fns[m](x, y) if x and y else 0.0)
+            for m in norm_metrics:
+                out[f"norm_{m}"].append(fns[m](nx, ny) if nx and ny else 0.0)
+        return pd.DataFrame(out)
+
+    return sims
+
+
+def pair_features_hashed(
+    pairs: DataFrame,
+    rfh: DataFrame,
+    unique_strings: DataFrame,
+    vectors: DataFrame,
+    cfg: FeatureConfig = FeatureConfig(),
+) -> DataFrame:
+    """The scale-path feature battery: every expensive similarity is computed
+    once per DISTINCT (left_hash, right_hash) pair — not per record pair —
+    then equi-joined back; interactions are pure column math.
+
+    Why: person/title strings are power-law (159 uniques over 2,354 records
+    in the reference's dev data, output/field_statistics.json), so distinct
+    hash pairs ≪ record pairs, and no embedding vector ever rides along a
+    record-pair row (the naive pair⋈repr⋈repr join ships
+    |pairs|·fields·2·dim floats through the shuffle — the dominant cost at
+    any scale).  This is the reference's dedup-before-embed optimization
+    (embedding.py:106-119) applied to pairwise scoring.
+
+    Inputs: pairs(left_id, right_id[, match]); rfh = record_field_hashes
+    wide table; unique_strings(hash, value); vectors(hash, embedding).
+    Output schema identical to :func:`pair_features`.
+    """
+    from pyspark import StorageLevel
+
+    valid = lambda c: c.isNotNull() & (c != _NULL_SENT)  # noqa: E731
+    l = rfh.select(
+        F.col("record_id").alias("left_id"),
+        *[F.col(f).alias(f"l_{f}_h") for f in EMBED_FIELDS],
+    )
+    r = rfh.select(
+        F.col("record_id").alias("right_id"),
+        *[F.col(f).alias(f"r_{f}_h") for f in EMBED_FIELDS],
+    )
+    # The narrow pair×hash base is materialized ONCE; every distinct-hash-pair
+    # set derives from it (deriving them from the growing join chain would
+    # re-execute each sim UDF per downstream join — quadratic lineage).  In
+    # the stage-table pipeline this persist is the stage's parquet write.
+    pw0 = pairs.join(l, "left_id").join(r, "right_id").persist(StorageLevel.MEMORY_AND_DISK)
+    pw = pw0
+
+    ncos = _ncos_udf()
+    vec_l = vectors.select(F.col("hash").alias("lh"), F.col("embedding").alias("lv"))
+    vec_r = vectors.select(F.col("hash").alias("rh"), F.col("embedding").alias("rv"))
+
+    # per-field cosine at distinct-hash-pair granularity
+    for f in cfg.cosine_similarities:
+        lh, rh = f"l_{f}_h", f"r_{f}_h"
+        hp = (
+            pw0.select(F.col(lh), F.col(rh))
+            .where(valid(F.col(lh)) & valid(F.col(rh)))
+            .distinct()
+        )
+        # explicit repartition before the UDF: AQE coalesces by shuffle BYTES
+        # and would serialize the Python stage onto 1-2 partitions (UDF cost
+        # per row ≫ bytes per row); explicit N disables AQE coalescing here
+        sim = (
+            hp.join(vec_l, F.col(lh) == F.col("lh"))
+            .join(vec_r, F.col(rh) == F.col("rh"))
+            .repartition(_parallelism(pairs))
+            .select(F.col(lh), F.col(rh), ncos("lv", "rv").alias(f"{f}_cosine"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        pw = pw.join(sim, [lh, rh], "left")
+        pw = pw.withColumn(f"{f}_cosine", F.coalesce(F.col(f"{f}_cosine"), F.lit(0.0)))
+
+    presence = {
+        f: valid(F.col(f"l_{f}_h")) & valid(F.col(f"r_{f}_h"))
+        for f in cfg.cosine_similarities
+    }
+
+    if cfg.title_cosine_squared_enabled and "title" in cfg.cosine_similarities:
+        pw = pw.withColumn("title_cosine_squared", F.pow(F.col("title_cosine"), 2))
+    if cfg.low_composite_penalty_enabled and "composite" in cfg.cosine_similarities:
+        pw = pw.withColumn(
+            "low_composite_penalty",
+            F.when(
+                presence["composite"]
+                & (F.col("composite_cosine") < F.lit(cfg.low_composite_penalty_threshold)),
+                1.0,
+            ).otherwise(0.0),
+        )
+
+    # string sims + birth/death over the person field, hash-pair deduped
+    sf = cfg.string_similarity_field
+    raw_metrics = tuple(m for m in cfg.string_similarity_metrics if m in ("levenshtein", "jaro_winkler"))
+    norm_metrics = tuple(m for m in cfg.normalized_name_sims if m in ("levenshtein", "jaro_winkler"))
+    if raw_metrics or norm_metrics:
+        lh, rh = f"l_{sf}_h", f"r_{sf}_h"
+        hp = (
+            pw0.select(F.col(lh), F.col(rh))
+            .where(valid(F.col(lh)) & valid(F.col(rh)))
+            .distinct()
+        )
+        us_l = unique_strings.select(F.col("hash").alias("lh"), F.col("value").alias("lval"))
+        us_r = unique_strings.select(F.col("hash").alias("rh"), F.col("value").alias("rval"))
+        sims_udf = _string_sims_udf(raw_metrics, norm_metrics)
+        sim = (
+            hp.join(us_l, F.col(lh) == F.col("lh"))
+            .join(us_r, F.col(rh) == F.col("rh"))
+            .repartition(_parallelism(pairs))
+            .select(F.col(lh), F.col(rh), sims_udf("lval", "rval").alias("ss"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        cols = [F.col(lh), F.col(rh)]
+        for m in raw_metrics:
+            cols.append(F.col(f"ss.raw_{m}").alias(f"{sf}_{m}"))
+        for m in norm_metrics:
+            cols.append(F.col(f"ss.norm_{m}").alias(f"{sf}_norm_{m}"))
+        pw = pw.join(sim.select(*cols), [lh, rh], "left")
+        for m in raw_metrics:
+            pw = pw.withColumn(f"{sf}_{m}", F.coalesce(F.col(f"{sf}_{m}"), F.lit(0.0)))
+        for m in norm_metrics:
+            pw = pw.withColumn(f"{sf}_norm_{m}", F.coalesce(F.col(f"{sf}_norm_{m}"), F.lit(0.0)))
+
+    # interactions: pure column math over normalized cosines
+    def _cos(f: str):
+        return F.col(f"{f}_cosine") if f"{f}_cosine" in pw.columns else None
+
+    for f1, f2 in cfg.harmonic_means:
+        s1, s2 = _cos(f1), _cos(f2)
+        if s1 is None or s2 is None:
+            continue
+        pw = pw.withColumn(
+            f"{f1}_{f2}_harmonic",
+            F.when((s1 > 0) & (s2 > 0), 2.0 * s1 * s2 / (s1 + s2)).otherwise(0.0),
+        )
+    for f1, f2 in cfg.products:
+        s1, s2 = _cos(f1), _cos(f2)
+        if s1 is None or s2 is None:
+            continue
+        pw = pw.withColumn(f"{f1}_{f2}_product", s1 * s2)
+    for f1, f2 in cfg.ratios:
+        s1, s2 = _cos(f1), _cos(f2)
+        if s1 is None or s2 is None:
+            continue
+        pw = pw.withColumn(
+            f"{f1}_{f2}_ratio",
+            F.when(
+                presence[f1] & presence[f2] & (s2 > 0),
+                2.0 / (1.0 + F.exp(-s1 / s2)) - 1.0,
+            ).otherwise(0.0),
+        )
+
+    # birth/death: extract years once per DISTINCT person hash
+    if cfg.birth_death_enabled:
+        from ..functions.birth_death import birth_death_udf
+
+        lh, rh = f"l_{sf}_h", f"r_{sf}_h"
+        person_hashes = (
+            pw0.select(F.col(lh).alias("h"))
+            .unionAll(pw0.select(F.col(rh).alias("h")))
+            .where(valid(F.col("h")))
+            .distinct()
+        )
+        years = (
+            person_hashes.join(unique_strings, F.col("h") == F.col("hash"))
+            .repartition(_parallelism(pairs))
+            .select("h", birth_death_udf("value").alias("bd"))
+            .select("h", F.col("bd.birth_year").alias("by"), F.col("bd.death_year").alias("dy"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        pw = pw.join(
+            years.select(F.col("h").alias(lh), F.col("by").alias("l_by"), F.col("dy").alias("l_dy")),
+            lh,
+            "left",
+        ).join(
+            years.select(F.col("h").alias(rh), F.col("by").alias("r_by"), F.col("dy").alias("r_dy")),
+            rh,
+            "left",
+        )
+        has = lambda b, d: (b.isNotNull() | d.isNotNull()).cast("double")  # noqa: E731
+        pw = pw.withColumn("birth_death_left", F.coalesce(has(F.col("l_by"), F.col("l_dy")), F.lit(0.0)))
+        pw = pw.withColumn("birth_death_right", F.coalesce(has(F.col("r_by"), F.col("r_dy")), F.lit(0.0)))
+        bd_match = (
+            (F.col("l_by").isNotNull() & F.col("r_by").isNotNull() & (F.col("l_by") == F.col("r_by")))
+            | (F.col("l_dy").isNotNull() & F.col("r_dy").isNotNull() & (F.col("l_dy") == F.col("r_dy")))
+        ).cast("double")
+        pw = pw.withColumn("birth_death_match", F.coalesce(bd_match, F.lit(0.0)))
+        lev_name = f"{sf}_levenshtein"
+        if cfg.person_lev_bd_product_enabled and lev_name in pw.columns:
+            pw = pw.withColumn(
+                "person_levenshtein_birth_death_match_product",
+                F.when(F.col("birth_death_match") == 1.0, F.col(lev_name)).otherwise(
+                    F.col(lev_name) * cfg.person_lev_bd_dampening
+                ),
+            )
+        if cfg.person_cos_bd_product_enabled and "person" in cfg.cosine_similarities:
+            pc = F.col("person_cosine")
+            pw = pw.withColumn(
+                "person_cosine_birth_death_match_product",
+                F.when(
+                    presence["person"],
+                    F.when(F.col("birth_death_match") == 1.0, pc).otherwise(
+                        pc * cfg.person_cos_bd_dampening
+                    ),
+                ).otherwise(0.0),
+            )
+
+    names = feature_names(cfg)
+    out_cols = ["left_id", "right_id"]
+    if "match" in pairs.columns:
+        out_cols.append("match")
+    out_cols += [
+        nm if nm in pw.columns else F.lit(0.0).alias(nm) for nm in names
+    ]
+    return pw.select(*out_cols)
+
+
 def fit_scaler(features_df: DataFrame, cols: list[str]) -> dict[str, tuple[float, float]]:
     """Column means + population stds (sklearn StandardScaler semantics:
     ddof=0; zero-variance columns get scale 1.0)."""

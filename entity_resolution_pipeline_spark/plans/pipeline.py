@@ -37,7 +37,7 @@ class PipelineResult:
     melted: DataFrame
     unique_strings: DataFrame
     embeddings: DataFrame
-    record_repr: DataFrame
+    record_field_hashes: DataFrame
     model: Any = None
     metrics: dict = field(default_factory=dict)
     predictions: DataFrame | None = None
@@ -45,27 +45,40 @@ class PipelineResult:
 
 
 def prepare(pages: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> PipelineResult:
-    """pages → records → melted/unique_strings → embeddings → record_repr
-    (the shared prefix of both mainline plans)."""
-    records = X.extract_records(pages)
-    melted = P.melt_fields(records)
-    uniq = P.unique_strings(melted)
-    emb = E.embed_unique_strings(melted, cfg.embedding)
-    repr_df = FE.record_repr(melted, emb.select("hash", "embedding"))
+    """pages → records → melted/unique_strings/record_field_hashes →
+    embeddings (the shared prefix of both mainline plans).
+
+    The per-record representation is the narrow hash-wide table; vectors and
+    string values stay keyed by unique hash and are only touched at
+    distinct-hash-pair granularity in featurization (pair_features_hashed)."""
+    from pyspark import StorageLevel
+
+    records = X.extract_records(pages).persist(StorageLevel.MEMORY_AND_DISK)
+    melted = P.melt_fields(records).persist(StorageLevel.MEMORY_AND_DISK)
+    uniq = P.unique_strings(melted).persist(StorageLevel.MEMORY_AND_DISK)
+    rfh = P.record_field_hashes(melted).persist(StorageLevel.MEMORY_AND_DISK)
+    emb = E.embed_unique_strings(melted, cfg.embedding).persist(StorageLevel.MEMORY_AND_DISK)
     return PipelineResult(
         records=records,
         melted=melted,
         unique_strings=uniq,
         embeddings=emb,
-        record_repr=repr_df,
+        record_field_hashes=rfh,
     )
 
 
 def featurize_pairs(
     pairs: DataFrame, prep: PipelineResult, cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    assembled = FE.assemble_pairs(pairs, prep.record_repr)
-    return FE.pair_features(assembled, cfg.features)
+    from pyspark import StorageLevel
+
+    vectors = prep.embeddings.select("hash", "embedding").dropDuplicates(["hash"])
+    feats = FE.pair_features_hashed(
+        pairs, prep.record_field_hashes, prep.unique_strings, vectors, cfg.features
+    )
+    # consumers run several actions (scaler agg, collect, scoring); in the
+    # stage-table pipeline this is the stage's parquet write
+    return feats.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def run_labeled(

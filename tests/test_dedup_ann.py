@@ -1,0 +1,165 @@
+"""Dedup suite + ANN + text-analysis + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from entity_resolution_pipeline_spark.operators import ann, dedup, multimodal
+from entity_resolution_pipeline_spark.functions import text_analysis as TA
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "The  quick  brown fox jumps over the lazy DOG"),        # ws/case dup of 0
+        (3, "the quick brown fox leaps over the lazy dog"),          # near-dup (1 token)
+        (4, "completely different content about spark shuffles"),
+        (5, "completely different content about spark shuffles!"),   # near-dup of 4
+        (6, "short text"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["canonical_id"] == 0 and g["dup_count"] == 3
+    kept = sorted(r["doc_id"] for r in dedup.distinct_documents(docs).collect())
+    assert kept == [0, 3, 4, 5, 6]
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r["left_id"], r["right_id"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 3) in pairs and 0.5 <= pairs[(0, 3)] < 1.0
+    assert not any(4 in p or 5 in p for p in pairs if p not in [(4, 5)])
+
+
+def test_minhash_lsh_pairs(docs):
+    pairs = {
+        (r["left_id"], r["right_id"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (4, 5) in pairs
+    assert (0, 4) not in pairs
+
+
+def test_simhash_pairs(docs):
+    pairs = {(r["left_id"], r["right_id"]): r["hamming"] for r in dedup.simhash_pairs(docs).collect()}
+    assert pairs[(0, 1)] == 0          # identical text → identical signature
+    assert (0, 2) in pairs             # normalized-identical → hamming 0
+    assert (4, 5) in pairs             # tiny edit → few bits
+    assert (0, 4) not in pairs
+
+
+def test_simhash_properties():
+    a = TA.simhash64("the quick brown fox jumps over the lazy dog")
+    b = TA.simhash64("the quick brown fox jumps over the lazy dog!")
+    c = TA.simhash64("entirely unrelated text about query optimizers")
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(a, b) <= 6
+    assert ham(a, c) > 10
+
+
+def test_embedding_neardup_and_topk(spark):
+    base = np.eye(4, dtype=np.float64)
+    vecs = [
+        (0, (base[0]).tolist()),
+        (1, (base[0] * 0.99 + base[1] * 0.01).tolist()),  # ≈ v0
+        (2, base[1].tolist()),
+        (3, base[2].tolist()),
+    ]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    pairs = {(r["left_id"], r["right_id"]) for r in dedup.embedding_neardup_pairs(emb, threshold=0.95).collect()}
+    assert pairs == {(0, 1)}
+
+    topk = ann.brute_force_topk(emb, queries=[(0, base[0].tolist())], k=2)
+    rows = sorted(topk.collect(), key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in rows] == [1, 2]
+    assert rows[0]["cosine"] > 0.99
+
+
+def test_lsh_bucket_topk_recall(spark):
+    rng = np.random.Generator(np.random.PCG64(3))
+    n, d = 200, 16
+    M = rng.standard_normal((n, d))
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    # plant an exact near-neighbor for row 0
+    M[1] = M[0] * 0.995 + rng.standard_normal(d) * 0.001
+    emb = spark.createDataFrame(
+        [(i, M[i].tolist()) for i in range(n)], ["vec_id", "embedding"]
+    )
+    approx = ann.lsh_bucket_topk(emb, k=3, dim=d, n_planes=8, n_tables=6)
+    got = {r["neighbor_id"] for r in approx.where("query_id = 0").collect()}
+    assert 1 in got  # the planted neighbor must be found
+
+
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "   "), (2, "xyzzy")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in df.select("doc_id", TA.token_count_col(F.col("text")).alias("n"), *TA.quality_metrics_cols(F.col("text"))).collect()}
+    assert out[0]["n"] == 6 and out[1]["n"] == 0 and out[2]["n"] == 1
+    assert out[0]["stopword_ratio"] == pytest.approx(3 / 6, abs=1e-6)
+    assert out[2]["alpha_ratio"] == 1.0
+
+
+def test_langid_deterministic(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of the house went to the park"),
+            (1, "der Hund und die Katze in einem schönen Haus"),
+            (2, "le chat de la maison est dans le jardin que"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    udf = TA.make_langid_udf()
+    out = {r["doc_id"]: r["lang"] for r in df.select("doc_id", udf("text").alias("lang")).collect()}
+    assert out[0] == "en" and out[1] == "de" and out[2] == "fr" and out[3] == "und"
+
+
+def test_winnow_fingerprints_overlap():
+    a = TA.winnow_fingerprints("the quick brown fox jumps over the lazy dog")
+    b = TA.winnow_fingerprints("the quick brown fox jumps over the lazy cat")
+    c = TA.winnow_fingerprints("completely different text with no overlap at all")
+    assert len(set(a) & set(b)) > 0
+    assert len(set(a) & set(c)) == 0
+    assert a == TA.winnow_fingerprints("THE  quick brown fox jumps over the lazy dog".lower())
+
+
+def test_media_features_plumbing(spark):
+    media = multimodal.synthetic_media_df(spark, 30)
+    feats = multimodal.extract_media_features(media, dim=16)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r["feature"]) == 16
+        assert abs(float(np.linalg.norm(r["feature"])) - 1.0) < 1e-3
+    # determinism across partitioning
+    m1 = multimodal.extract_media_features(multimodal.synthetic_media_df(spark, 30, partitions=1), dim=16)
+    assert sorted(r["content_hash"] for r in m1.collect()) == sorted(r["content_hash"] for r in rows)
+
+
+def test_video_frame_sampling(spark):
+    media = multimodal.synthetic_media_df(spark, 9)
+    frames = multimodal.sample_video_frames(media, every_ms=1000)
+    per = {r["media_id"] for r in frames.collect()}
+    assert per  # only video rows
+    kinds = {r["media_id"]: r["kind"] for r in media.collect()}
+    assert all(kinds[m] == "video" for m in per)
+
+
+def test_resize_stub_raises(spark):
+    media = multimodal.synthetic_media_df(spark, 3)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(media, 32, 32)

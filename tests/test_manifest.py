@@ -1,0 +1,60 @@
+"""Lineage manifest + resume protocol tests (north rule: resumable from
+checkpoint with per-partition lineage + metrics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from entity_resolution_pipeline_spark.sources import manifest as M
+
+
+def test_write_read_stage_table(spark, tmp_path):
+    base = str(tmp_path / "stages")
+    df = spark.range(0, 100).selectExpr("id", "id * 2 AS doubled")
+    out = M.write_stage_table(df, base, "stage_a", metrics={"dropped": 3.0})
+    assert out.count() == 100
+    assert M.stage_complete(spark, base, "stage_a")
+    assert not M.stage_complete(spark, base, "stage_b")
+    re_read = M.read_stage_table(spark, base, "stage_a")
+    assert sorted(r["doubled"] for r in re_read.collect()) == sorted(
+        2 * i for i in range(100)
+    )
+
+
+def test_manifest_rows_carry_metrics(spark, tmp_path):
+    base = str(tmp_path / "stages")
+    M.record_stage(spark, base, "blocking", rows=42, metrics={"hot_blocks": 2.0})
+    mf = M.read_manifest(spark, base).collect()
+    assert len(mf) == 1
+    row = mf[0]
+    assert row["stage"] == "blocking" and row["rows"] == 42
+    assert row["metrics"]["hot_blocks"] == 2.0
+    assert row["status"] == "complete"
+
+
+def test_resume_skips_complete_stage(spark, tmp_path):
+    """The resume contract: a completed stage is skipped and its output
+    re-read; an incomplete stage re-runs."""
+    base = str(tmp_path / "stages")
+    runs = {"n": 0}
+
+    def expensive_stage():
+        runs["n"] += 1
+        return spark.range(0, 10).selectExpr("id")
+
+    def run_stage(name):
+        if M.stage_complete(spark, base, name):
+            return M.read_stage_table(spark, base, name)
+        return M.write_stage_table(expensive_stage(), base, name)
+
+    a1 = run_stage("s1")
+    assert runs["n"] == 1 and a1.count() == 10
+    a2 = run_stage("s1")  # resume: must NOT recompute
+    assert runs["n"] == 1 and a2.count() == 10
+
+
+def test_interrupted_stage_reruns(spark, tmp_path):
+    base = str(tmp_path / "stages")
+    # simulate an interrupted write: table exists but no manifest row
+    spark.range(0, 5).write.mode("overwrite").parquet(f"{base}/s2")
+    assert not M.stage_complete(spark, base, "s2")

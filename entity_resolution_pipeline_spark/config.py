@@ -102,6 +102,12 @@ class FeatureConfig:
     person_cos_bd_product_enabled: bool = True
     person_cos_bd_dampening: float = 0.25
     normalize_features: bool = True    # StandardScaler (feature_engineering.py:931-960)
+    # Physical knob: hash-join the unique-string vector table broadcast-side
+    # (vectors are the dedup'd small side by construction) so the wide
+    # pair×vector rows never shuffle — the cosine UDF consumes them pipelined
+    # in the probe stage.  Disable on corpora whose unique-string vector
+    # table exceeds executor memory; the shuffle-join fallback then applies.
+    broadcast_vectors: bool = True
 
 
 @dataclass(frozen=True)

@@ -50,15 +50,20 @@ def embed_string(
     OpenAI embeddings played.  Without weights, cosine is dominated by
     whatever fixed scaffolding the corpus shares.
     """
-    vec = np.zeros(dim, dtype=np.float64)
     if not text:
-        return vec.astype(np.float32)
-    for gram in char_ngrams(text, n):
-        h = zlib.crc32(gram.encode("utf-8"))
-        sign = 1.0 if (h >> 31) & 1 else -1.0
-        vec[h % dim] += sign
+        return np.zeros(dim, dtype=np.float32)
+    grams = char_ngrams(text, n)
+    hs = np.fromiter(
+        (zlib.crc32(g.encode("utf-8")) for g in grams),
+        dtype=np.uint32,
+        count=len(grams),
+    )
+    signs = np.where((hs >> np.uint32(31)) & np.uint32(1), 1.0, -1.0)
+    # bincount = vectorized scatter-add (the per-gram `vec[h] += s` Python
+    # loop was the pipeline's hottest line at corpus scale)
+    vec = np.bincount((hs % np.uint32(dim)).astype(np.int64), weights=signs, minlength=dim)
     if weights is not None:
-        vec *= weights
+        vec = vec * weights
     norm = np.linalg.norm(vec)
     if norm > 0:
         vec /= norm
@@ -98,8 +103,13 @@ def bucket_document_frequencies(strings_df, col: str, dim: int = 256, n: int = 3
             if not t:
                 out.append([])
                 continue
-            bs = {zlib.crc32(g.encode("utf-8")) % dim for g in char_ngrams(t, n)}
-            out.append(sorted(bs))
+            grams = char_ngrams(t, n)
+            hs = np.fromiter(
+                (zlib.crc32(g.encode("utf-8")) for g in grams),
+                dtype=np.uint32,
+                count=len(grams),
+            )
+            out.append(np.unique(hs % np.uint32(dim)).astype(int).tolist())
         return pd.Series(out)
 
     return (

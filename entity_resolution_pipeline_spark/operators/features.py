@@ -326,6 +326,36 @@ def _ncos_udf():
     return ncos
 
 
+def _ncos_lookup_udf(bc):
+    """Arrow UDF: (hash, hash) → normalized cosine, resolving vectors from a
+    task-local broadcast matrix (bc.value = (index dict, float32 matrix)).
+
+    Only two 39-char hash strings per pair cross the Arrow boundary — ~100×
+    less transfer than shipping both vectors — and no join at all.  Valid
+    whenever the DEDUP'D unique-string vector table fits executor memory
+    (the reference's design premise; its prod corpus at 47M uniques does
+    not → use the shuffle-join path, cfg.broadcast_vectors=False)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def ncos_lookup(lh: pd.Series, rh: pd.Series) -> pd.Series:
+        index, mat = bc.value
+        li = np.fromiter((index.get(h, -1) for h in lh), dtype=np.int64, count=len(lh))
+        ri = np.fromiter((index.get(h, -1) for h in rh), dtype=np.int64, count=len(rh))
+        ok = (li >= 0) & (ri >= 0)
+        A = mat[np.where(ok, li, 0)]
+        B = mat[np.where(ok, ri, 0)]
+        na = np.linalg.norm(A, axis=1)
+        nb = np.linalg.norm(B, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.einsum("ij,ij->i", A, B) / (na * nb)
+        sims = np.where(ok & np.isfinite(sims), sims, np.nan)
+        return pd.Series(np.where(np.isnan(sims), np.nan, (sims + 1.0) / 2.0))
+
+    return ncos_lookup
+
+
 def _string_sims_udf(metrics: tuple[str, ...], norm_metrics: tuple[str, ...]):
     """Arrow UDF: (value, value) → struct of the enabled raw/normalized-name
     string similarities."""
@@ -351,6 +381,48 @@ def _string_sims_udf(metrics: tuple[str, ...], norm_metrics: tuple[str, ...]):
                 out[f"raw_{m}"].append(fns[m](x, y) if x and y else 0.0)
             for m in norm_metrics:
                 out[f"norm_{m}"].append(fns[m](nx, ny) if nx and ny else 0.0)
+        return pd.DataFrame(out)
+
+    return sims
+
+
+def _string_sims_lookup_udf(bc_strings, metrics: tuple[str, ...], norm_metrics: tuple[str, ...]):
+    """(hash, hash) → string-sim struct, resolving values from a broadcast
+    unique-strings dict; normalized names are memoized per hash in a
+    worker-local cache (the year-stripping regex cascade runs once per
+    unique string, not once per pair)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..functions.birth_death import normalize_name
+    from ..functions.similarity import jaro_winkler_similarity, levenshtein_similarity
+
+    fields = [StructField(f"raw_{m}", DoubleType(), True) for m in metrics]
+    fields += [StructField(f"norm_{m}", DoubleType(), True) for m in norm_metrics]
+    schema = StructType(fields)
+    fns = {"levenshtein": levenshtein_similarity, "jaro_winkler": jaro_winkler_similarity}
+    norm_cache: dict[str, str] = {}
+
+    def _norm(h: str, values: dict) -> str:
+        n = norm_cache.get(h)
+        if n is None:
+            n = normalize_name(values.get(h) or "")
+            norm_cache[h] = n
+        return n
+
+    @pandas_udf(schema)
+    def sims(lh: pd.Series, rh: pd.Series) -> pd.DataFrame:
+        values = bc_strings.value
+        out: dict[str, list[float]] = {f.name: [] for f in fields}
+        for ha, hb in zip(lh, rh):
+            x = values.get(ha) or ""
+            y = values.get(hb) or ""
+            for m in metrics:
+                out[f"raw_{m}"].append(fns[m](x, y) if x and y else 0.0)
+            if norm_metrics:
+                nx, ny = _norm(ha, values), _norm(hb, values)
+                for m in norm_metrics:
+                    out[f"norm_{m}"].append(fns[m](nx, ny) if nx and ny else 0.0)
         return pd.DataFrame(out)
 
     return sims
@@ -397,28 +469,71 @@ def pair_features_hashed(
     pw0 = pairs.join(l, "left_id").join(r, "right_id").persist(StorageLevel.MEMORY_AND_DISK)
     pw = pw0
 
-    ncos = _ncos_udf()
-    vec_l = vectors.select(F.col("hash").alias("lh"), F.col("embedding").alias("lv"))
-    vec_r = vectors.select(F.col("hash").alias("rh"), F.col("embedding").alias("rv"))
+    bc = None
+    if cfg.broadcast_vectors:
+        # One driver-side collect of the DEDUP'D vector table, broadcast once
+        # and shared by every cosine stage and both pair sides.  Vectors are
+        # packed to float32 BYTES executor-side first: collecting raw
+        # list<float> columns via toPandas materializes tens of millions of
+        # Python floats (measured 10× slower than the binary path).
+        from pyspark.sql.functions import pandas_udf as _pudf
+        from pyspark.sql.types import BinaryType as _Bin
 
-    # per-field cosine at distinct-hash-pair granularity
+        @_pudf(_Bin())
+        def _pack(v: pd.Series) -> pd.Series:
+            return v.map(lambda x: np.asarray(x, dtype=np.float32).tobytes())
+
+        vp = vectors.select("hash", _pack("embedding").alias("b")).toPandas()
+        dim = len(vp["b"].iloc[0]) // 4 if len(vp) else 0
+        mat = np.frombuffer(b"".join(vp["b"]), dtype=np.float32).reshape(len(vp), dim)
+        index = {h: i for i, h in enumerate(vp["hash"])}
+        bc = pairs.sparkSession.sparkContext.broadcast((index, mat))
+        ncos_lookup = _ncos_lookup_udf(bc)
+    else:
+        ncos = _ncos_udf()
+        vec_l = vectors.select(F.col("hash").alias("lh"), F.col("embedding").alias("lv"))
+        vec_r = vectors.select(F.col("hash").alias("rh"), F.col("embedding").alias("rv"))
+
+    # Cosine at GLOBAL distinct-hash-pair granularity: cosine is a function
+    # of the hash pair alone, so ONE fused UDF stage serves every field —
+    # stage count, scheduling latency, and per-worker broadcast loads don't
+    # multiply by the field count, and a hash pair shared by two fields is
+    # computed once.  Explicit repartition: the Python stage must run at
+    # full width regardless of AQE's byte-based coalescing (UDF cost/row ≫
+    # bytes/row).
+    hp_parts = [
+        pw0.select(
+            F.col(f"l_{f}_h").alias("lh"), F.col(f"r_{f}_h").alias("rh")
+        ).where(valid(F.col(f"l_{f}_h")) & valid(F.col(f"r_{f}_h")))
+        for f in cfg.cosine_similarities
+    ]
+    hp_all = hp_parts[0]
+    for p in hp_parts[1:]:
+        hp_all = hp_all.unionAll(p)
+    hp_all = hp_all.distinct().repartition(_parallelism(pairs))
+    if bc is not None:
+        # no join: vectors resolved from the task-local broadcast matrix;
+        # only the two hash strings cross the Arrow boundary
+        sim_all = hp_all.select("lh", "rh", ncos_lookup("lh", "rh").alias("ncos"))
+    else:
+        # shuffle-join fallback for corpora whose vector table exceeds
+        # executor memory; re-spread the wide rows before the UDF
+        sim_all = (
+            hp_all.join(vec_l, "lh")
+            .join(vec_r, "rh")
+            .repartition(_parallelism(pairs))
+            .select("lh", "rh", ncos("lv", "rv").alias("ncos"))
+        )
+    sim_all = sim_all.persist(StorageLevel.MEMORY_AND_DISK)
+    sim_all.count()  # eager: materialize the UDF stage now — left lazy, AQE
+    # may fold it into a broadcast-side build evaluated near-serially inside
+    # the assembly job (measured 6×)
     for f in cfg.cosine_similarities:
         lh, rh = f"l_{f}_h", f"r_{f}_h"
-        hp = (
-            pw0.select(F.col(lh), F.col(rh))
-            .where(valid(F.col(lh)) & valid(F.col(rh)))
-            .distinct()
+        simf = sim_all.select(
+            F.col("lh").alias(lh), F.col("rh").alias(rh), F.col("ncos").alias(f"{f}_cosine")
         )
-        # explicit repartition before the UDF: AQE coalesces by shuffle BYTES
-        # and would serialize the Python stage onto 1-2 partitions (UDF cost
-        # per row ≫ bytes per row); explicit N disables AQE coalescing here
-        sim = (
-            hp.join(vec_l, F.col(lh) == F.col("lh"))
-            .join(vec_r, F.col(rh) == F.col("rh"))
-            .repartition(_parallelism(pairs))
-            .select(F.col(lh), F.col(rh), ncos("lv", "rv").alias(f"{f}_cosine"))
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        pw = pw.join(sim, [lh, rh], "left")
+        pw = pw.join(simf, [lh, rh], "left")
         pw = pw.withColumn(f"{f}_cosine", F.coalesce(F.col(f"{f}_cosine"), F.lit(0.0)))
 
     presence = {
@@ -448,16 +563,37 @@ def pair_features_hashed(
             pw0.select(F.col(lh), F.col(rh))
             .where(valid(F.col(lh)) & valid(F.col(rh)))
             .distinct()
-        )
-        us_l = unique_strings.select(F.col("hash").alias("lh"), F.col("value").alias("lval"))
-        us_r = unique_strings.select(F.col("hash").alias("rh"), F.col("value").alias("rval"))
-        sims_udf = _string_sims_udf(raw_metrics, norm_metrics)
-        sim = (
-            hp.join(us_l, F.col(lh) == F.col("lh"))
-            .join(us_r, F.col(rh) == F.col("rh"))
             .repartition(_parallelism(pairs))
-            .select(F.col(lh), F.col(rh), sims_udf("lval", "rval").alias("ss"))
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if cfg.broadcast_vectors:
+            # person-field strings only — the small side by construction
+            sp = (
+                pw0.select(F.col(lh).alias("h"))
+                .unionAll(pw0.select(F.col(rh).alias("h")))
+                .where(valid(F.col("h")))
+                .distinct()
+                .join(unique_strings, F.col("h") == F.col("hash"))
+                .select("h", "value")
+                .toPandas()
+            )
+            bc_strings = pairs.sparkSession.sparkContext.broadcast(
+                dict(zip(sp["h"], sp["value"]))
+            )
+            sims_udf = _string_sims_lookup_udf(bc_strings, raw_metrics, norm_metrics)
+            sim = hp.select(F.col(lh), F.col(rh), sims_udf(lh, rh).alias("ss")).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        else:
+            us_l = unique_strings.select(F.col("hash").alias("lh"), F.col("value").alias("lval"))
+            us_r = unique_strings.select(F.col("hash").alias("rh"), F.col("value").alias("rval"))
+            sims_udf = _string_sims_udf(raw_metrics, norm_metrics)
+            sim = (
+                hp.join(us_l, F.col(lh) == F.col("lh"))
+                .join(us_r, F.col(rh) == F.col("rh"))
+                .repartition(_parallelism(pairs))
+                .select(F.col(lh), F.col(rh), sims_udf("lval", "rval").alias("ss"))
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        sim.count()  # eager (see cosine note)
         cols = [F.col(lh), F.col(rh)]
         for m in raw_metrics:
             cols.append(F.col(f"ss.raw_{m}").alias(f"{sf}_{m}"))
@@ -515,6 +651,7 @@ def pair_features_hashed(
             .select("h", birth_death_udf("value").alias("bd"))
             .select("h", F.col("bd.birth_year").alias("by"), F.col("bd.death_year").alias("dy"))
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        years.count()  # eager (see cosine note)
         pw = pw.join(
             years.select(F.col("h").alias(lh), F.col("by").alias("l_by"), F.col("dy").alias("l_dy")),
             lh,

@@ -21,6 +21,12 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "40000"))
+
+# one BLAS thread per python worker: N workers × M BLAS threads oversubscribes
+# the box and anti-scales at high core counts (Spark supplies the parallelism)
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -113,7 +119,7 @@ def bench_queries(spark) -> tuple[dict, dict]:
     return times, extra
 
 
-def scaling_run(n_records: int = 20000) -> dict:
+def scaling_run(n_records: int = SCALE_N) -> dict:
     """Same corpus-path job at local[N] and local[4N] on identical input;
     report pairs-scored/sec at both and efficiency = thr_4N / (4 · thr_N).
     Sandbox proxy for the north rule's N vs 4N executor criterion."""

@@ -61,9 +61,12 @@ class BlockingConfig:
     # keys are computed on the YEAR-STRIPPED name, making same-entity strings
     # near-identical).  The exact-name key covers J=1.0 independently; fewer
     # false candidates is the single biggest scoring-cost lever.
-    max_block_size: int = 2000     # cap: blocks larger than this are salted into
-    # sub-blocks by a secondary signature slice; pair enumeration stays complete
-    # within each sub-block (correctness-neutral cap, SURVEY.md §7 risk 3)
+    max_block_size: int = 2000     # cap: block keys with more members than
+    # this are non-discriminative "stop keys" — they are DROPPED and counted
+    # (surfaced in stage metrics, never silent), a recall/cost knob
+    # (SURVEY.md §7 risk 3).  Residual within-cap imbalance is handled by
+    # AQE skew-join splitting; a complete-enumeration salting strategy
+    # (triangle decomposition of hot blocks) is the planned alternative.
     also_exact_name_key: bool = True  # add a normalized-name exact block key
 
 

@@ -61,12 +61,15 @@ class BlockingConfig:
     # keys are computed on the YEAR-STRIPPED name, making same-entity strings
     # near-identical).  The exact-name key covers J=1.0 independently; fewer
     # false candidates is the single biggest scoring-cost lever.
-    max_block_size: int = 2000     # cap: block keys with more members than
-    # this are non-discriminative "stop keys" — they are DROPPED and counted
-    # (surfaced in stage metrics, never silent), a recall/cost knob
-    # (SURVEY.md §7 risk 3).  Residual within-cap imbalance is handled by
-    # AQE skew-join splitting; a complete-enumeration salting strategy
-    # (triangle decomposition of hot blocks) is the planned alternative.
+    max_block_size: int = 2000     # per-block member cap; see hot_block_strategy
+    # Skew handling for hot (over-cap) block keys (SURVEY.md §7 risk 3):
+    # * "drop": over-cap keys are non-discriminative "stop keys" — dropped
+    #   and counted (surfaced in stage metrics, never silent); recall/cost knob.
+    # * "salt": triangle-decomposition salting — members get ceil(size/cap)
+    #   salt groups, each unordered group pair becomes its own join bucket,
+    #   so pair enumeration stays COMPLETE while no task sees more than
+    #   ~2·cap members.  Residual within-cap imbalance → AQE skew-join.
+    hot_block_strategy: str = "drop"
     also_exact_name_key: bool = True  # add a normalized-name exact block key
 
 

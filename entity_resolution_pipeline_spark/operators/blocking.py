@@ -79,22 +79,71 @@ def prune_hot_blocks(
     return kept, hot
 
 
+def salt_hot_blocks(
+    membership: DataFrame, cfg: BlockingConfig = BlockingConfig()
+) -> DataFrame:
+    """Triangle-decomposition salting: rewrite each over-cap block into
+    bounded join buckets WITHOUT losing any pair.
+
+    A hot block of size s gets G = ceil(s / cap) salt groups; a member in
+    group g is exploded into one bucket key per unordered group pair
+    involving g — (i, g) for i ≤ g and (g, j) for j > g.  A pair whose
+    members fall in groups (ga, gb) then meets in exactly ONE bucket,
+    (min, max), so the downstream self-join enumerates every pair exactly
+    once while no bucket holds more than ~2·cap members.  Salt assignment
+    is deterministic (xxhash64 of the id) — stable across runs and
+    parallelism levels.
+
+    Returns membership with block_key rewritten to the salted bucket key.
+    """
+    sizes = membership.groupBy("block_key").agg(F.count("*").alias("size"))
+    groups = F.ceil(F.col("size") / F.lit(cfg.max_block_size)).cast("int").alias("G")
+    # no broadcast hint: the sizes side is one row per distinct block key —
+    # small here, but unbounded at corpus scale; AQE picks the strategy
+    sized = membership.join(sizes.select("block_key", groups), "block_key")
+    g = F.pmod(F.xxhash64("id"), F.col("G")).cast("int")
+    # bucket keys for member in group g: (i, g) for i in [0, g] and (g, j)
+    # for j in (g, G)
+    buckets = F.concat(
+        F.transform(F.sequence(F.lit(0), g), lambda i: F.struct(i.alias("a"), g.alias("b"))),
+        F.when(
+            g + 1 < F.col("G"),
+            F.transform(
+                F.sequence(g + 1, F.col("G") - 1),
+                lambda j: F.struct(g.alias("a"), j.alias("b")),
+            ),
+        ).otherwise(F.array()),
+    )
+    return sized.select(
+        "id",
+        F.explode(buckets).alias("bk"),
+        "block_key",
+    ).select(
+        "id",
+        F.concat_ws("#", "block_key", F.col("bk.a"), F.col("bk.b")).alias("block_key"),
+    )
+
+
 def candidate_pairs(
     membership: DataFrame, cfg: BlockingConfig = BlockingConfig()
 ) -> DataFrame:
     """Block self-join → distinct (left_id, right_id), left < right.
 
     The l.id < r.id predicate halves the join output before the exchange;
-    dropDuplicates collapses multi-band duplicates.  Hot keys are pruned
-    first so no single block key dominates a shuffle partition; AQE
-    skew-join handles the rest.
+    dropDuplicates collapses multi-band duplicates.  Hot keys are handled
+    per cfg.hot_block_strategy (dropped-and-counted, or salted into
+    complete-enumeration triangle buckets) so no single block key dominates
+    a shuffle partition; AQE skew-join handles the rest.
     """
     from pyspark import StorageLevel
 
     # membership is consumed four times (size agg, anti-join, both join
     # sides); materialize once so the signature UDFs run once per record
     membership = membership.persist(StorageLevel.MEMORY_AND_DISK)
-    kept, _ = prune_hot_blocks(membership, cfg)
+    if cfg.hot_block_strategy == "salt":
+        kept = salt_hot_blocks(membership, cfg)
+    else:
+        kept, _ = prune_hot_blocks(membership, cfg)
     l = kept.alias("l")
     r = kept.alias("r")
     pairs = (

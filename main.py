@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Stage-based CLI driver (reference parity: main.py --stage X [--resume]).
+
+Mirrors the reference's entry points (main.py:27-66 argparse → Pipeline
+dispatch, pipeline.py:66-120 stage sequence) on Spark: each stage reads its
+inputs from the previous stage's table, writes its output table + a manifest
+lineage row, and `--resume` skips stages whose manifest row is complete.
+
+Stages (in order): extract, preprocess, embed, block, features, train,
+predict, cluster, report.  `--stage all` runs the full sequence.
+
+Usage:
+  spark-submit --py-files erx.zip main.py --pages /data/pages --out /work \
+      --labeled-pairs /data/labeled.csv --stage all [--resume]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+STAGES = (
+    "extract",
+    "preprocess",
+    "embed",
+    "block",
+    "features",
+    "train",
+    "predict",
+    "cluster",
+    "report",
+)
+
+
+def build_spark(app: str, shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName(app).config(
+        "spark.sql.adaptive.enabled", "true"
+    )
+    if shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return b.getOrCreate()
+
+
+def run(args: argparse.Namespace) -> None:
+    from pyspark.sql import functions as F
+
+    from entity_resolution_pipeline_spark.config import DEFAULT_CONFIG
+    from entity_resolution_pipeline_spark.operators import blocking as B
+    from entity_resolution_pipeline_spark.operators import classify as C
+    from entity_resolution_pipeline_spark.operators import cluster as G
+    from entity_resolution_pipeline_spark.operators import embedding as E
+    from entity_resolution_pipeline_spark.operators import extract as X
+    from entity_resolution_pipeline_spark.operators import features as FE
+    from entity_resolution_pipeline_spark.operators import preprocess as P
+    from entity_resolution_pipeline_spark.plans import reporting as R
+    from entity_resolution_pipeline_spark.sources import inputs as I
+    from entity_resolution_pipeline_spark.sources import manifest as M
+
+    cfg = DEFAULT_CONFIG
+    spark = build_spark("erx-pipeline", cfg.shuffle_partitions)
+    out = args.out
+
+    wanted = STAGES if args.stage == "all" else (args.stage,)
+
+    def should_run(stage: str) -> bool:
+        if stage not in wanted and args.stage != "all":
+            return False
+        if args.resume and M.stage_complete(spark, out, stage):
+            print(f"[resume] skipping complete stage: {stage}")
+            return False
+        return stage in wanted
+
+    def table(stage: str):
+        return M.read_stage_table(spark, out, stage)
+
+    if should_run("extract"):
+        pages = I.read_pages(spark, args.pages)
+        M.write_stage_table(X.extract_records(pages), out, "extract")
+
+    if should_run("preprocess"):
+        records = table("extract")
+        melted = P.melt_fields(records).persist()
+        M.write_stage_table(melted, out, "preprocess")
+        M.write_stage_table(P.unique_strings(melted), out, "unique_strings")
+        M.write_stage_table(P.record_field_hashes(melted), out, "record_field_hashes")
+        M.write_stage_table(
+            P.field_hash_mapping(melted), out, "field_hash_mapping"
+        )
+
+    if should_run("embed"):
+        melted = table("preprocess")
+        M.write_stage_table(E.embed_unique_strings(melted, cfg.embedding), out, "embed")
+
+    if should_run("block"):
+        records = table("extract")
+        membership = B.block_membership(records, cfg.blocking)
+        _, hot = B.prune_hot_blocks(membership, cfg.blocking)
+        n_hot = hot.count()
+        cands = B.candidate_pairs(membership, cfg.blocking)
+        M.write_stage_table(cands, out, "block", metrics={"hot_blocks_dropped": float(n_hot)})
+
+    if should_run("features"):
+        cands = table("block")
+        rfh = table("record_field_hashes")
+        uniq = table("unique_strings")
+        vectors = table("embed").select("hash", "embedding").dropDuplicates(["hash"])
+        feats = FE.pair_features_hashed(cands, rfh, uniq, vectors, cfg.features)
+        M.write_stage_table(feats, out, "features")
+
+    if should_run("train"):
+        if not args.labeled_pairs:
+            raise SystemExit("--labeled-pairs is required for the train stage")
+        lp = I.read_labeled_pairs(spark, args.labeled_pairs).select(
+            F.col("left").alias("left_id"), F.col("right").alias("right_id"), "match"
+        )
+        rfh = table("record_field_hashes")
+        uniq = table("unique_strings")
+        vectors = table("embed").select("hash", "embedding").dropDuplicates(["hash"])
+        lpf = FE.pair_features_hashed(lp, rfh, uniq, vectors, cfg.features)
+        cols = FE.selected_feature_names(cfg.features, cfg.feature_selection)
+        model, metrics = C.fit(lpf, cols, cfg.classifier)
+        with open(os.path.join(out, "model.pkl"), "wb") as f:
+            pickle.dump(model, f)
+        with open(os.path.join(out, "classification_metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2, default=float)
+        M.record_stage(spark, out, "train", rows=metrics["n_train"] + metrics["n_test"],
+                       metrics={"f1": metrics["f1"], "precision": metrics["precision"]})
+        print(json.dumps({k: metrics[k] for k in ("precision", "recall", "f1")}, indent=1))
+
+    if should_run("predict"):
+        with open(os.path.join(out, "model.pkl"), "rb") as f:
+            model = pickle.load(f)
+        feats = table("features")
+        M.write_stage_table(C.score(feats, model), out, "predict")
+
+    if should_run("cluster"):
+        preds = table("predict")
+        records = table("extract")
+        clusters = G.cluster_predictions(preds, records.select("record_id"), cfg.clustering)
+        M.write_stage_table(clusters, out, "cluster")
+
+    if should_run("report"):
+        preds = table("predict")
+        clusters = table("cluster")
+        cls = None
+        mpath = os.path.join(out, "classification_metrics.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                cls = json.load(f)
+        report = R.full_report(cls, preds, clusters)
+        R.save_report(
+            report,
+            os.path.join(out, "pipeline_report.json"),
+            os.path.join(out, "pipeline_report.md"),
+        )
+        M.record_stage(spark, out, "report", rows=0)
+        print(json.dumps(report.get("clusters", {}), indent=1, default=float))
+
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--pages", help="pages parquet path (url,warc_ts,html,text,lang)")
+    ap.add_argument("--labeled-pairs", help="labeled pair CSV (left,right,match)")
+    ap.add_argument("--out", required=True, help="output/working directory")
+    ap.add_argument("--stage", default="all", choices=STAGES + ("all",))
+    ap.add_argument("--resume", action="store_true", help="skip manifest-complete stages")
+    run(ap.parse_args())
+
+
+if __name__ == "__main__":
+    main()

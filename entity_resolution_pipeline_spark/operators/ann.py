@@ -60,6 +60,10 @@ def brute_force_topk(
     Q = np.array([q[1] for q in queries], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
 
+    # project before mapInPandas: it consumes whole rows, so an unprojected
+    # corpus would drag every column through the scan and the Arrow boundary
+    corpus = corpus.select(id_col, vec_col)
+
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):

@@ -67,20 +67,53 @@ def read_manifest(spark: SparkSession, base_dir: str) -> DataFrame:
     return spark.read.schema(MANIFEST).parquet(_manifest_path(base_dir))
 
 
+def record_partitions(
+    spark: SparkSession, base_dir: str, stage: str, df: DataFrame
+) -> int:
+    """Append one lineage row PER PARTITION of a stage output (north rule:
+    per-partition lineage + metrics): (stage, partition_id, rows).  Returns
+    the total row count (one pass computes both)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    per_part = (
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("rows"))
+        .collect()
+    )
+    now = dt.datetime.now()
+    rows = [
+        (stage, int(r["pid"]), "complete", int(r["rows"]), now, {})
+        for r in per_part
+    ]
+    if rows:
+        spark.createDataFrame(rows, MANIFEST).write.mode("append").parquet(
+            _manifest_path(base_dir)
+        )
+    return sum(int(r["rows"]) for r in per_part)
+
+
 def write_stage_table(
     df: DataFrame,
     base_dir: str,
     stage: str,
     metrics: dict[str, float] | None = None,
 ) -> DataFrame:
-    """Write a stage output table + its manifest row; return the re-read
-    DataFrame (so downstream plans read from parquet, truncating lineage —
-    the batch equivalent of checkpointing)."""
+    """Write a stage output table + per-partition lineage rows + the stage
+    summary row; return the re-read DataFrame (so downstream plans read from
+    parquet, truncating lineage — the batch equivalent of checkpointing).
+
+    The summary row (partition_id = -1, status = 'complete') is written LAST:
+    resume treats the stage as complete only when it exists, so an
+    interrupted write — even one that produced some partition rows — re-runs.
+    """
     spark = df.sparkSession
     path = os.path.join(base_dir, stage)
     df.write.mode("overwrite").parquet(path)
     out = spark.read.parquet(path)
-    record_stage(spark, base_dir, stage, rows=out.count(), metrics=metrics)
+    total = record_partitions(spark, base_dir, f"{stage}/partitions", out)
+    record_stage(spark, base_dir, stage, rows=total, metrics=metrics)
     return out
 
 

@@ -53,6 +53,19 @@ def test_resume_skips_complete_stage(spark, tmp_path):
     assert runs["n"] == 1 and a2.count() == 10
 
 
+def test_per_partition_lineage_rows(spark, tmp_path):
+    base = str(tmp_path / "stages")
+    df = spark.range(0, 1000, numPartitions=4).selectExpr("id")
+    M.write_stage_table(df, base, "s_part")
+    mf = M.read_manifest(spark, base)
+    parts = mf.where("stage = 's_part/partitions'").collect()
+    assert len(parts) >= 1
+    assert sum(r["rows"] for r in parts) == 1000
+    assert all(r["partition_id"] >= 0 for r in parts)
+    summary = mf.where("stage = 's_part'").collect()
+    assert len(summary) == 1 and summary[0]["rows"] == 1000
+
+
 def test_interrupted_stage_reruns(spark, tmp_path):
     base = str(tmp_path / "stages")
     # simulate an interrupted write: table exists but no manifest row

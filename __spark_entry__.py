@@ -372,6 +372,60 @@ def q_birth_death_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("record_id", "bd.birth_year", "bd.death_year")
 
 
+def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate all-pairs top-3 neighbors via sign-random-projection LSH
+    buckets + per-bucket exact rerank (the scale path of ann.py).
+    Rows-only: bucket membership is algorithm-specific."""
+    from entity_resolution_pipeline_spark.operators.ann import lsh_bucket_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(emb, k=3, dim=64, n_planes=8, n_tables=4)
+
+
+def q_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (winnowing, Schleimer et al.): near-dup
+    candidates = documents sharing ≥ 25 fingerprints (k=16-grams keep the
+    fingerprints selective on this small-vocabulary corpus). Rows-only."""
+    from entity_resolution_pipeline_spark.functions.text_analysis import make_winnow_udf
+
+    docs = _read(spark, sf_dir, "documents")
+    w = make_winnow_udf(k=16, window=6)
+    fps = docs.select("doc_id", F.explode(w("text")).alias("fp")).dropDuplicates()
+    l = fps.alias("l")
+    r = fps.alias("r")
+    return (
+        l.join(r, "fp")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(F.col("l.doc_id").alias("left_id"), F.col("r.doc_id").alias("right_id"))
+        .agg(F.count("*").alias("shared_fingerprints"))
+        .where(F.col("shared_fingerprints") >= 25)
+    )
+
+
+def q_impute_hotdeck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector hot-deck imputation (reference batch_parallel_imputation.py) on
+    the synthetic fixture: records missing subjects get nearest-donor values
+    by composite-vector similarity.  Rows-only: KNN + vector averaging."""
+    from entity_resolution_pipeline_spark import synth
+    from entity_resolution_pipeline_spark.config import DEFAULT_CONFIG, ImputationConfig
+    from entity_resolution_pipeline_spark.operators import embedding as E
+    from entity_resolution_pipeline_spark.operators import extract as X
+    from entity_resolution_pipeline_spark.operators import preprocess as P
+    from entity_resolution_pipeline_spark.operators.impute import impute_missing_fields
+
+    pages = synth.pages_df(spark, 300)
+    melted = P.melt_fields(X.extract_records(pages))
+    rfh = P.record_field_hashes(melted)
+    uniq = P.unique_strings(melted)
+    vectors = (
+        E.embed_unique_strings(melted, DEFAULT_CONFIG.embedding)
+        .select("hash", "embedding")
+        .dropDuplicates(["hash"])
+    )
+    out = impute_missing_fields(rfh, vectors, uniq, ImputationConfig(method="nearest"))
+    return out.select("record_id", "field", "n_donors", "imputed_value")
+
+
 def q_er_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end ER flagship on the synthetic fixture: blocking → scoring →
     clustering → size-bucket stats (rows-only; pinned by e2e tests)."""
@@ -412,6 +466,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_deltas": q_session_deltas,
         "hourly_rollup": q_hourly_rollup,
         "birth_death_extract": q_birth_death_extract,
+        "srp_ann_topk": q_srp_ann_topk,
+        "winnow_candidates": q_winnow_candidates,
+        "impute_hotdeck": q_impute_hotdeck,
         "er_cluster_stats": q_er_cluster_stats,
     }
 

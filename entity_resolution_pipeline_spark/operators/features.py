@@ -21,6 +21,7 @@ low-composite penalty).
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -326,21 +327,34 @@ def _ncos_udf():
     return ncos
 
 
+_MMAP_CACHE: dict[str, np.ndarray] = {}
+
+
 def _ncos_lookup_udf(bc):
     """Arrow UDF: (hash, hash) → normalized cosine, resolving vectors from a
-    task-local broadcast matrix (bc.value = (index dict, float32 matrix)).
+    memory-mapped matrix shipped once per host (bc.value = (index dict,
+    matrix file name registered via SparkContext.addFile)).
 
     Only two 39-char hash strings per pair cross the Arrow boundary — ~100×
-    less transfer than shipping both vectors — and no join at all.  Valid
-    whenever the DEDUP'D unique-string vector table fits executor memory
-    (the reference's design premise; its prod corpus at 47M uniques does
-    not → use the shuffle-join path, cfg.broadcast_vectors=False)."""
+    less transfer than shipping both vectors — and no join at all.  The
+    matrix is np.load(mmap_mode='r'): every worker on a host shares the same
+    page-cache pages, so per-worker cost is an mmap open instead of a
+    hundreds-of-MB pickle load (which anti-scaled with worker count).  Valid
+    whenever the DEDUP'D unique-string vector table fits host memory (the
+    reference's design premise; its prod corpus at 47M uniques does not →
+    use the shuffle-join path, cfg.broadcast_vectors=False)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType
 
     @pandas_udf(DoubleType())
     def ncos_lookup(lh: pd.Series, rh: pd.Series) -> pd.Series:
-        index, mat = bc.value
+        from pyspark import SparkFiles
+
+        index, mat_name = bc.value
+        mat = _MMAP_CACHE.get(mat_name)
+        if mat is None:
+            mat = np.load(SparkFiles.get(mat_name), mmap_mode="r")
+            _MMAP_CACHE[mat_name] = mat
         li = np.fromiter((index.get(h, -1) for h in lh), dtype=np.int64, count=len(lh))
         ri = np.fromiter((index.get(h, -1) for h in rh), dtype=np.int64, count=len(rh))
         ok = (li >= 0) & (ri >= 0)
@@ -487,7 +501,19 @@ def pair_features_hashed(
         dim = len(vp["b"].iloc[0]) // 4 if len(vp) else 0
         mat = np.frombuffer(b"".join(vp["b"]), dtype=np.float32).reshape(len(vp), dim)
         index = {h: i for i, h in enumerate(vp["hash"])}
-        bc = pairs.sparkSession.sparkContext.broadcast((index, mat))
+        # ship the matrix as an npy FILE (addFile), not through the pickle
+        # broadcast: workers np.load(mmap_mode='r') and share page cache —
+        # per-worker load cost was the main anti-scaling term at high core
+        # counts
+        import tempfile
+        import uuid
+
+        sc = pairs.sparkSession.sparkContext
+        mat_name = f"erx-vecmat-{uuid.uuid4().hex}.npy"
+        mat_path = os.path.join(tempfile.gettempdir(), mat_name)
+        np.save(mat_path, mat)
+        sc.addFile(mat_path)
+        bc = sc.broadcast((index, mat_name))
         ncos_lookup = _ncos_lookup_udf(bc)
     else:
         ncos = _ncos_udf()

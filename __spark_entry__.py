@@ -123,11 +123,12 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates + exact-Jaccard verify (≥ 0.35).
+    """MinHash-LSH near-dup candidates + exact-Jaccard verify (≥ 0.5, the
+    threshold the 16-band × 4-row S-curve is centered on: (1/16)^(1/4) = 0.5).
     Rows-only: LSH banding is not SQL-expressible."""
     from entity_resolution_pipeline_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_read(spark, sf_dir, "documents"), threshold=0.35)
+    return minhash_lsh_pairs(_read(spark, sf_dir, "documents"), threshold=0.5)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

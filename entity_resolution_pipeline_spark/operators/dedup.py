@@ -62,21 +62,28 @@ def distinct_documents(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
 # ------------------------------------------------------- exact n-gram Jaccard
 
 def _token_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle, set_size): distinct word-n-gram shingles per doc.
-    Pure JVM: split → sliding window via transform over index range."""
+    """(id, shingle): distinct word-n-gram shingles per doc, exploded.
+
+    Pure JVM: split → n parallel shifted slices → arrays_zip → concat.  One
+    O(L) slice per offset (n total) instead of one O(L) slice per *index*
+    (the slice-inside-transform formulation is O(L²) per row and ~12× slower
+    measured at sf0.1).  Deliberately does NOT emit a set_size column: a
+    projection next to explode is evaluated once per *output* row, so
+    size(<shingle expr>) there re-runs the whole shingle pipeline L times
+    per doc (O(L²) again, measured 28 s vs 3 s at sf0.1); sizes come from a
+    tiny groupBy over the exploded rows instead (shingles are distinct per
+    doc, so count(*) == |set|)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     if n == 1:
         shingles = F.array_distinct(toks)
     else:
-        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        zipped = F.arrays_zip(*[F.slice(toks, i + 1, length) for i in range(n)])
         shingles = F.array_distinct(
-            F.transform(
-                idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-            )
+            F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
         )
-    out = docs.select(F.col(id_col).alias("id"), shingles.alias("sh"))
-    return out.select(
-        "id", F.size("sh").alias("set_size"), F.explode("sh").alias("shingle")
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles).alias("shingle")
     )
 
 
@@ -96,6 +103,7 @@ def ngram_jaccard_pairs(
     problem LSH banding (minhash_lsh_pairs) solves at corpus scale.
     """
     sh = _token_shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     l = sh.alias("l")
     r = sh.alias("r")
     common = (
@@ -104,10 +112,10 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col("l.id").alias("left_id"),
             F.col("r.id").alias("right_id"),
-            F.col("l.set_size").alias("ls"),
-            F.col("r.set_size").alias("rs"),
         )
         .agg(F.count("*").alias("common"))
+        .join(sizes.toDF("left_id", "ls"), "left_id")
+        .join(sizes.toDF("right_id", "rs"), "right_id")
     )
     jac = F.col("common") / (F.col("ls") + F.col("rs") - F.col("common"))
     return (
@@ -127,43 +135,69 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Sub-quadratic near-dup pairs: MinHash signatures (char shingles) →
-    band keys → block self-join → exact char-shingle Jaccard verify ≥
-    threshold.  The verify runs in one Arrow pass over candidate pairs only.
-    """
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import DoubleType
+    """Sub-quadratic near-dup pairs, three-tier (generate → estimate → verify):
 
-    from ..functions.minhash import jaccard, make_band_keys_udf, make_minhash_udf
+    1. **Banding**: MinHash signatures (char shingles) → band keys → block
+       self-join on the key, *ids only* through the shuffle (texts/signatures
+       never ride the exploded band rows — 16 band keys per doc would
+       multiply shuffle bytes by 16).
+    2. **Signature-estimate prefilter**: candidate pairs join their full
+       signatures back (broadcast at small SF, shuffle hash join on id at
+       scale) and keep only est-Jaccard = |equal positions|/H ≥ threshold −
+       3σ, σ = √(τ(1−τ)/H).  On a corpus with a dense low-similarity
+       background (every band collision at J≈0.2 is a candidate) this drops
+       ~99% of candidates before the expensive exact verify; pairs at
+       exactly J=τ are kept w.p. ≈ 0.9987 (3σ) — LSH candidate generation is
+       itself probabilistic, so the estimate gate does not change the
+       operator's contract.
+    3. **Exact verify**: survivors join precomputed shingle-set arrays (each
+       doc shingled once, not once per pair) and compute exact Jaccard as
+       |A∩B| / (|A|+|B|−|A∩B|) — one JVM array_intersect, no second pass
+       over the text.
+    """
+    from ..functions.minhash import (
+        make_band_keys_udf,
+        make_minhash_udf,
+        make_shingle_udf,
+    )
 
     mh = make_minhash_udf(num_hashes=num_hashes, k=shingle_k)
     bk = make_band_keys_udf(bands=bands)
+    sh = make_shingle_udf(k=shingle_k)
     base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    banded = base.withColumn("key", F.explode(bk(mh("text"))))
-    l = banded.alias("l")
-    r = banded.alias("r")
+
+    bids = base.select("id", F.explode(bk(mh("text"))).alias("key"))
+    l = bids.alias("l")
+    r = bids.alias("r")
     cands = (
         l.join(r, "key")
         .where(F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("left_id"),
-            F.col("l.text").alias("lt"),
-            F.col("r.id").alias("right_id"),
-            F.col("r.text").alias("rt"),
-        )
-        .dropDuplicates(["left_id", "right_id"])
+        .select(F.col("l.id").alias("left_id"), F.col("r.id").alias("right_id"))
+        .dropDuplicates()
     )
 
-    @pandas_udf(DoubleType())
-    def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [jaccard(x or "", y or "", k=shingle_k) for x, y in zip(a, b)]
-        )
+    sigs = base.select("id", mh("text").alias("sig"))
+    est_floor = max(
+        threshold - 3.0 * (threshold * (1.0 - threshold) / num_hashes) ** 0.5, 0.0
+    )
+    eq = F.zip_with("lsig", "rsig", lambda a, b: (a == b).cast("int"))
+    est = F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.lit(num_hashes)
+    pre = (
+        cands.join(sigs.toDF("left_id", "lsig"), "left_id")
+        .join(sigs.toDF("right_id", "rsig"), "right_id")
+        .where(est >= est_floor)
+        .select("left_id", "right_id")
+    )
 
+    arrs = base.select("id", sh("text").alias("sh")).withColumn("ss", F.size("sh"))
+    j = pre.join(arrs.toDF("left_id", "lsh", "ls"), "left_id").join(
+        arrs.toDF("right_id", "rsh", "rs"), "right_id"
+    )
+    common = F.size(F.array_intersect("lsh", "rsh"))
+    jac = common / (F.col("ls") + F.col("rs") - common)
     return (
-        cands.withColumn("jaccard", F.round(jaccard_udf("lt", "rt"), 6))
+        j.select("left_id", "right_id", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
-        .select("left_id", "right_id", "jaccard")
     )
 
 
@@ -208,33 +242,65 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
-    """Pairs with cosine ≥ threshold.  Brute-force all-pairs formulation in
-    pure JVM exprs (zip_with dot product over double-cast vectors) — correct
-    and oracle-checkable; at corpus scale wrap it behind the LSH bucketing in
-    ann.lsh_bucket_topk so the self-join is per-bucket, not global."""
-    v = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
-    )
-    l = v.alias("l")
-    r = v.alias("r")
-    dot = F.aggregate(
-        F.zip_with(F.col("l.vec"), F.col("r.vec"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(F.col(f"{side}.vec"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    cos = dot / (norm("l") * norm("r"))
-    return (
-        l.crossJoin(r)
-        .where(F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("left_id"),
-            F.col("r.id").alias("right_id"),
-            F.round(cos, 6).alias("cosine"),
+    """Pairs with cosine ≥ threshold — broadcast nested-loop formulation.
+
+    All-pairs cosine is inherently O(n²); the right physical plan is to
+    broadcast one normalized side as a dense float64 matrix and stream the
+    other through one Arrow pass per partition, computing a single numpy
+    matmul per batch (vectorized, no per-row work, no crossJoin shuffle of
+    n² rows).  Guarded by `max_broadcast_rows`: beyond that, compose with
+    the SRP-LSH bucketing in ann.lsh_bucket_topk so the exact rerank runs
+    per bucket, not globally.
+    """
+    import numpy as np
+
+    from typing import Iterator
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    v = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    n = v.count()
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"embedding_neardup_pairs: {n} rows exceeds max_broadcast_rows="
+            f"{max_broadcast_rows}; use ann.lsh_bucket_topk (SRP-LSH buckets + "
+            "per-bucket exact rerank) at this scale"
         )
-        .where(F.col("cosine") >= threshold)
+    pdf = v.toPandas()
+    ids = pdf["id"].to_numpy(dtype=np.int64)
+    M = np.array([np.asarray(x, dtype=np.float64) for x in pdf["vec"]])
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    Mn = M / np.maximum(norms, 1e-300)  # zero vectors → cos 0, filtered by τ
+    bc = v.sparkSession.sparkContext.broadcast((ids, Mn))
+
+    schema = StructType(
+        [
+            StructField("left_id", LongType(), False),
+            StructField("right_id", LongType(), False),
+            StructField("cosine", DoubleType(), False),
+        ]
     )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_Mn = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            bids = b["id"].to_numpy(dtype=np.int64)
+            B = np.array([np.asarray(x, dtype=np.float64) for x in b["vec"]])
+            Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+            sims = np.round(Bn @ all_Mn.T, 6)  # (batch, n)
+            li, ri = np.nonzero(
+                (sims >= threshold) & (bids[:, None] < all_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "left_id": bids[li],
+                    "right_id": all_ids[ri],
+                    "cosine": sims[li, ri],
+                }
+            )
+
+    return v.mapInPandas(gen, schema=schema)

@@ -329,45 +329,219 @@ def _ncos_udf():
 
 _MMAP_CACHE: dict[str, np.ndarray] = {}
 
+# worker-local memoization shared across Arrow batches, keyed by the
+# per-invocation matrix file name (a new featurize call ⇒ fresh caches; same
+# job ⇒ every batch and every task on the worker reuses normalized names /
+# years / string sims computed for a hash (pair) once)
+_FUSED_CACHE: dict[str, dict[str, dict]] = {}
 
-def _ncos_lookup_udf(bc):
-    """Arrow UDF: (hash, hash) → normalized cosine, resolving vectors from a
-    memory-mapped matrix shipped once per host (bc.value = (index dict,
-    matrix file name registered via SparkContext.addFile)).
 
-    Only two 39-char hash strings per pair cross the Arrow boundary — ~100×
-    less transfer than shipping both vectors — and no join at all.  The
-    matrix is np.load(mmap_mode='r'): every worker on a host shares the same
-    page-cache pages, so per-worker cost is an mmap open instead of a
-    hundreds-of-MB pickle load (which anti-scaled with worker count).  Valid
-    whenever the DEDUP'D unique-string vector table fits host memory (the
-    reference's design premise; its prod corpus at 47M uniques does not →
-    use the shuffle-join path, cfg.broadcast_vectors=False)."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import DoubleType
+def _fused_battery_udf(bc_vec, bc_strings, cfg: FeatureConfig, out_schema: StructType):
+    """ONE mapInPandas pass computing the entire battery over the narrow
+    pair×hash rows (pw0), resolving vectors from the host-shared mmap matrix
+    and person strings from a broadcast dict.
 
-    @pandas_udf(DoubleType())
-    def ncos_lookup(lh: pd.Series, rh: pd.Series) -> pd.Series:
+    Broadcast mode previously ran 3 separate distinct-hash-pair UDF stages
+    (cosine / string sims / birth-death) and then LEFT-JOINED each result
+    back onto the pair table — 8 join-backs whose exchanges dominated the
+    stage (measured ~22 s of a 60 s featurize at 90k pairs).  With the
+    vector matrix already host-shared, recomputing a cosine per pair row is
+    ~2·dim flops — far cheaper than shuffling the pair table through the
+    join-backs — so the fused pass does zero joins and zero extra stages;
+    string sims and year extraction stay deduplicated via worker-local
+    memoization instead of a global distinct."""
+    from pyspark.sql.functions import pandas_udf  # noqa: F401  (doc parity)
+
+    names = feature_names(cfg)
+    sf = cfg.string_similarity_field
+    raw_metrics = tuple(
+        m for m in cfg.string_similarity_metrics if m in ("levenshtein", "jaro_winkler")
+    )
+    norm_metrics = tuple(
+        m for m in cfg.normalized_name_sims if m in ("levenshtein", "jaro_winkler")
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import SparkFiles
 
-        index, mat_name = bc.value
+        from ..functions.birth_death import extract_birth_death_years, normalize_name
+        from ..functions.similarity import (
+            jaro_winkler_similarity,
+            levenshtein_similarity,
+        )
+
+        index, mat_name = bc_vec.value
         mat = _MMAP_CACHE.get(mat_name)
         if mat is None:
             mat = np.load(SparkFiles.get(mat_name), mmap_mode="r")
             _MMAP_CACHE[mat_name] = mat
-        li = np.fromiter((index.get(h, -1) for h in lh), dtype=np.int64, count=len(lh))
-        ri = np.fromiter((index.get(h, -1) for h in rh), dtype=np.int64, count=len(rh))
-        ok = (li >= 0) & (ri >= 0)
-        A = mat[np.where(ok, li, 0)]
-        B = mat[np.where(ok, ri, 0)]
-        na = np.linalg.norm(A, axis=1)
-        nb = np.linalg.norm(B, axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            sims = np.einsum("ij,ij->i", A, B) / (na * nb)
-        sims = np.where(ok & np.isfinite(sims), sims, np.nan)
-        return pd.Series(np.where(np.isnan(sims), np.nan, (sims + 1.0) / 2.0))
+        strings = bc_strings.value
+        # keyed by the (per-invocation-unique) matrix file name: worker-side
+        # Broadcast handles don't expose .id
+        caches = _FUSED_CACHE.setdefault(
+            mat_name, {"norm": {}, "years": {}, "sims": {}}
+        )
+        norm_c, years_c, sims_c = caches["norm"], caches["years"], caches["sims"]
+        fns = {
+            "levenshtein": levenshtein_similarity,
+            "jaro_winkler": jaro_winkler_similarity,
+        }
 
-    return ncos_lookup
+        def _norm(h: str) -> str:
+            v = norm_c.get(h)
+            if v is None:
+                v = normalize_name(strings.get(h) or "")
+                norm_c[h] = v
+            return v
+
+        def _years(h: str):
+            v = years_c.get(h)
+            if v is None:
+                v = extract_birth_death_years(strings.get(h) or "")
+                years_c[h] = v
+            return v
+
+        def _valid_idx(col: pd.Series, n: int) -> np.ndarray:
+            return np.fromiter(
+                (
+                    index.get(h, -1) if (h is not None and h != _NULL_SENT) else -1
+                    for h in col
+                ),
+                dtype=np.int64,
+                count=n,
+            )
+
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            out: dict[str, np.ndarray] = {}
+            present: dict[str, np.ndarray] = {}
+            for f in cfg.cosine_similarities:
+                li = _valid_idx(pdf[f"l_{f}_h"], n)
+                ri = _valid_idx(pdf[f"r_{f}_h"], n)
+                ok = (li >= 0) & (ri >= 0)
+                A = mat[np.where(ok, li, 0)]
+                B = mat[np.where(ok, ri, 0)]
+                na = np.linalg.norm(A, axis=1)
+                nb = np.linalg.norm(B, axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = np.einsum("ij,ij->i", A, B) / (na * nb)
+                ncos = ((sims.astype(np.float64) + 1.0) / 2.0)
+                out[f"{f}_cosine"] = np.where(ok & np.isfinite(sims), ncos, 0.0)
+                present[f] = ok
+                if f == "title" and cfg.title_cosine_squared_enabled:
+                    out["title_cosine_squared"] = out["title_cosine"] ** 2
+                if f == "composite" and cfg.low_composite_penalty_enabled:
+                    out["low_composite_penalty"] = np.where(
+                        ok & (out["composite_cosine"] < cfg.low_composite_penalty_threshold),
+                        1.0,
+                        0.0,
+                    )
+
+            lh_col = pdf[f"l_{sf}_h"]
+            rh_col = pdf[f"r_{sf}_h"]
+            if raw_metrics or norm_metrics:
+                cols = {m: np.zeros(n) for m in raw_metrics}
+                ncols = {m: np.zeros(n) for m in norm_metrics}
+                for i, (ha, hb) in enumerate(zip(lh_col, rh_col)):
+                    if not ha or ha == _NULL_SENT or not hb or hb == _NULL_SENT:
+                        continue
+                    key = (ha, hb)
+                    vals = sims_c.get(key)
+                    if vals is None:
+                        x = strings.get(ha) or ""
+                        y = strings.get(hb) or ""
+                        vals = {}
+                        for m in raw_metrics:
+                            vals[f"raw_{m}"] = fns[m](x, y) if x and y else 0.0
+                        if norm_metrics:
+                            nx, ny = _norm(ha), _norm(hb)
+                            for m in norm_metrics:
+                                vals[f"norm_{m}"] = fns[m](nx, ny) if nx and ny else 0.0
+                        sims_c[key] = vals
+                    for m in raw_metrics:
+                        cols[m][i] = vals[f"raw_{m}"]
+                    for m in norm_metrics:
+                        ncols[m][i] = vals[f"norm_{m}"]
+                for m in raw_metrics:
+                    out[f"{sf}_{m}"] = cols[m]
+                for m in norm_metrics:
+                    out[f"{sf}_norm_{m}"] = ncols[m]
+
+            def _sims2(f1: str, f2: str):
+                s1 = out.get(f"{f1}_cosine")
+                s2 = out.get(f"{f2}_cosine")
+                return s1, s2
+
+            for f1, f2 in cfg.harmonic_means:
+                s1, s2 = _sims2(f1, f2)
+                if s1 is None or s2 is None:
+                    continue
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    h = 2.0 * s1 * s2 / (s1 + s2)
+                out[f"{f1}_{f2}_harmonic"] = np.where(
+                    (s1 > 0) & (s2 > 0) & np.isfinite(h), h, 0.0
+                )
+            for f1, f2 in cfg.products:
+                s1, s2 = _sims2(f1, f2)
+                if s1 is None or s2 is None:
+                    continue
+                out[f"{f1}_{f2}_product"] = s1 * s2
+            for f1, f2 in cfg.ratios:
+                s1, s2 = _sims2(f1, f2)
+                if s1 is None or s2 is None:
+                    continue
+                both = present[f1] & present[f2]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    ratio = 2.0 / (1.0 + np.exp(-s1 / np.where(s2 > 0, s2, 1.0))) - 1.0
+                out[f"{f1}_{f2}_ratio"] = np.where(both & (s2 > 0), ratio, 0.0)
+
+            if cfg.birth_death_enabled:
+                lb = np.full(n, np.nan)
+                ld = np.full(n, np.nan)
+                rb = np.full(n, np.nan)
+                rd = np.full(n, np.nan)
+                for i, (ha, hb) in enumerate(zip(lh_col, rh_col)):
+                    if ha and ha != _NULL_SENT:
+                        y = _years(ha)
+                        lb[i] = np.nan if y[0] is None else y[0]
+                        ld[i] = np.nan if y[1] is None else y[1]
+                    if hb and hb != _NULL_SENT:
+                        y = _years(hb)
+                        rb[i] = np.nan if y[0] is None else y[0]
+                        rd[i] = np.nan if y[1] is None else y[1]
+                out["birth_death_left"] = (~np.isnan(lb) | ~np.isnan(ld)).astype(np.float64)
+                out["birth_death_right"] = (~np.isnan(rb) | ~np.isnan(rd)).astype(np.float64)
+                bd_match = (
+                    (~np.isnan(lb) & ~np.isnan(rb) & (lb == rb))
+                    | (~np.isnan(ld) & ~np.isnan(rd) & (ld == rd))
+                ).astype(np.float64)
+                out["birth_death_match"] = bd_match
+                lev_name = f"{sf}_levenshtein"
+                if cfg.person_lev_bd_product_enabled and lev_name in out:
+                    out["person_levenshtein_birth_death_match_product"] = np.where(
+                        bd_match == 1.0,
+                        out[lev_name],
+                        out[lev_name] * cfg.person_lev_bd_dampening,
+                    )
+                if cfg.person_cos_bd_product_enabled and "person_cosine" in out:
+                    pc = out["person_cosine"]
+                    out["person_cosine_birth_death_match_product"] = np.where(
+                        present["person"],
+                        np.where(bd_match == 1.0, pc, pc * cfg.person_cos_bd_dampening),
+                        0.0,
+                    )
+
+            res = pd.DataFrame({"left_id": pdf["left_id"], "right_id": pdf["right_id"]})
+            if "match" in out_cols:
+                res["match"] = pdf["match"]
+            for nm in names:
+                res[nm] = out.get(nm, np.zeros(n))
+            yield res[out_cols]
+
+    return run
 
 
 def _string_sims_udf(metrics: tuple[str, ...], norm_metrics: tuple[str, ...]):
@@ -395,48 +569,6 @@ def _string_sims_udf(metrics: tuple[str, ...], norm_metrics: tuple[str, ...]):
                 out[f"raw_{m}"].append(fns[m](x, y) if x and y else 0.0)
             for m in norm_metrics:
                 out[f"norm_{m}"].append(fns[m](nx, ny) if nx and ny else 0.0)
-        return pd.DataFrame(out)
-
-    return sims
-
-
-def _string_sims_lookup_udf(bc_strings, metrics: tuple[str, ...], norm_metrics: tuple[str, ...]):
-    """(hash, hash) → string-sim struct, resolving values from a broadcast
-    unique-strings dict; normalized names are memoized per hash in a
-    worker-local cache (the year-stripping regex cascade runs once per
-    unique string, not once per pair)."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import DoubleType, StructField, StructType
-
-    from ..functions.birth_death import normalize_name
-    from ..functions.similarity import jaro_winkler_similarity, levenshtein_similarity
-
-    fields = [StructField(f"raw_{m}", DoubleType(), True) for m in metrics]
-    fields += [StructField(f"norm_{m}", DoubleType(), True) for m in norm_metrics]
-    schema = StructType(fields)
-    fns = {"levenshtein": levenshtein_similarity, "jaro_winkler": jaro_winkler_similarity}
-    norm_cache: dict[str, str] = {}
-
-    def _norm(h: str, values: dict) -> str:
-        n = norm_cache.get(h)
-        if n is None:
-            n = normalize_name(values.get(h) or "")
-            norm_cache[h] = n
-        return n
-
-    @pandas_udf(schema)
-    def sims(lh: pd.Series, rh: pd.Series) -> pd.DataFrame:
-        values = bc_strings.value
-        out: dict[str, list[float]] = {f.name: [] for f in fields}
-        for ha, hb in zip(lh, rh):
-            x = values.get(ha) or ""
-            y = values.get(hb) or ""
-            for m in metrics:
-                out[f"raw_{m}"].append(fns[m](x, y) if x and y else 0.0)
-            if norm_metrics:
-                nx, ny = _norm(ha, values), _norm(hb, values)
-                for m in norm_metrics:
-                    out[f"norm_{m}"].append(fns[m](nx, ny) if nx and ny else 0.0)
         return pd.DataFrame(out)
 
     return sims
@@ -483,7 +615,6 @@ def pair_features_hashed(
     pw0 = pairs.join(l, "left_id").join(r, "right_id").persist(StorageLevel.MEMORY_AND_DISK)
     pw = pw0
 
-    bc = None
     if cfg.broadcast_vectors:
         # One driver-side collect of the DEDUP'D vector table, broadcast once
         # and shared by every cosine stage and both pair sides.  Vectors are
@@ -514,11 +645,40 @@ def pair_features_hashed(
         np.save(mat_path, mat)
         sc.addFile(mat_path)
         bc = sc.broadcast((index, mat_name))
-        ncos_lookup = _ncos_lookup_udf(bc)
-    else:
-        ncos = _ncos_udf()
-        vec_l = vectors.select(F.col("hash").alias("lh"), F.col("embedding").alias("lv"))
-        vec_r = vectors.select(F.col("hash").alias("rh"), F.col("embedding").alias("rv"))
+
+        # person strings (string sims + birth/death) — the small side by
+        # construction: distinct person hashes reachable from the pairs
+        sfld = cfg.string_similarity_field
+        lh, rh = f"l_{sfld}_h", f"r_{sfld}_h"
+        sp = (
+            pw0.select(F.col(lh).alias("h"))
+            .unionAll(pw0.select(F.col(rh).alias("h")))
+            .where(valid(F.col("h")))
+            .distinct()
+            .join(unique_strings, F.col("h") == F.col("hash"))
+            .select("h", "value")
+            .toPandas()
+        )
+        bc_strings = sc.broadcast(dict(zip(sp["h"], sp["value"])))
+
+        has_match = "match" in pairs.columns
+        fields = [
+            StructField("left_id", pw0.schema["left_id"].dataType, False),
+            StructField("right_id", pw0.schema["right_id"].dataType, False),
+        ]
+        if has_match:
+            fields.append(StructField("match", pw0.schema["match"].dataType, True))
+        fields += [StructField(nm, DoubleType(), True) for nm in feature_names(cfg)]
+        out_schema = StructType(fields)
+        fused = _fused_battery_udf(bc, bc_strings, cfg, out_schema)
+        # explicit repartition: the Python stage must run at full width
+        # regardless of AQE's byte-based coalescing (UDF cost/row ≫ bytes/row)
+        return pw0.repartition(_parallelism(pairs)).mapInPandas(fused, schema=out_schema)
+
+    # ---- shuffle-join path (vector table exceeds executor memory) ----
+    ncos = _ncos_udf()
+    vec_l = vectors.select(F.col("hash").alias("lh"), F.col("embedding").alias("lv"))
+    vec_r = vectors.select(F.col("hash").alias("rh"), F.col("embedding").alias("rv"))
 
     # Cosine at GLOBAL distinct-hash-pair granularity: cosine is a function
     # of the hash pair alone, so ONE fused UDF stage serves every field —
@@ -537,19 +697,12 @@ def pair_features_hashed(
     for p in hp_parts[1:]:
         hp_all = hp_all.unionAll(p)
     hp_all = hp_all.distinct().repartition(_parallelism(pairs))
-    if bc is not None:
-        # no join: vectors resolved from the task-local broadcast matrix;
-        # only the two hash strings cross the Arrow boundary
-        sim_all = hp_all.select("lh", "rh", ncos_lookup("lh", "rh").alias("ncos"))
-    else:
-        # shuffle-join fallback for corpora whose vector table exceeds
-        # executor memory; re-spread the wide rows before the UDF
-        sim_all = (
-            hp_all.join(vec_l, "lh")
-            .join(vec_r, "rh")
-            .repartition(_parallelism(pairs))
-            .select("lh", "rh", ncos("lv", "rv").alias("ncos"))
-        )
+    sim_all = (
+        hp_all.join(vec_l, "lh")
+        .join(vec_r, "rh")
+        .repartition(_parallelism(pairs))
+        .select("lh", "rh", ncos("lv", "rv").alias("ncos"))
+    )
     sim_all = sim_all.persist(StorageLevel.MEMORY_AND_DISK)
     sim_all.count()  # eager: materialize the UDF stage now — left lazy, AQE
     # may fold it into a broadcast-side build evaluated near-serially inside
@@ -591,34 +744,15 @@ def pair_features_hashed(
             .distinct()
             .repartition(_parallelism(pairs))
         )
-        if cfg.broadcast_vectors:
-            # person-field strings only — the small side by construction
-            sp = (
-                pw0.select(F.col(lh).alias("h"))
-                .unionAll(pw0.select(F.col(rh).alias("h")))
-                .where(valid(F.col("h")))
-                .distinct()
-                .join(unique_strings, F.col("h") == F.col("hash"))
-                .select("h", "value")
-                .toPandas()
-            )
-            bc_strings = pairs.sparkSession.sparkContext.broadcast(
-                dict(zip(sp["h"], sp["value"]))
-            )
-            sims_udf = _string_sims_lookup_udf(bc_strings, raw_metrics, norm_metrics)
-            sim = hp.select(F.col(lh), F.col(rh), sims_udf(lh, rh).alias("ss")).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
-        else:
-            us_l = unique_strings.select(F.col("hash").alias("lh"), F.col("value").alias("lval"))
-            us_r = unique_strings.select(F.col("hash").alias("rh"), F.col("value").alias("rval"))
-            sims_udf = _string_sims_udf(raw_metrics, norm_metrics)
-            sim = (
-                hp.join(us_l, F.col(lh) == F.col("lh"))
-                .join(us_r, F.col(rh) == F.col("rh"))
-                .repartition(_parallelism(pairs))
-                .select(F.col(lh), F.col(rh), sims_udf("lval", "rval").alias("ss"))
-            ).persist(StorageLevel.MEMORY_AND_DISK)
+        us_l = unique_strings.select(F.col("hash").alias("lh"), F.col("value").alias("lval"))
+        us_r = unique_strings.select(F.col("hash").alias("rh"), F.col("value").alias("rval"))
+        sims_udf = _string_sims_udf(raw_metrics, norm_metrics)
+        sim = (
+            hp.join(us_l, F.col(lh) == F.col("lh"))
+            .join(us_r, F.col(rh) == F.col("rh"))
+            .repartition(_parallelism(pairs))
+            .select(F.col(lh), F.col(rh), sims_udf("lval", "rval").alias("ss"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         sim.count()  # eager (see cosine note)
         cols = [F.col(lh), F.col(rh)]
         for m in raw_metrics:

@@ -441,6 +441,154 @@ def q_er_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_statistics(res.clusters)
 
 
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4's 'overall' row generalized: ROLLUP(n_name, o_year) subtotal
+    lattice over the 3-way join — per (nation, year), per nation, grand
+    total.  Exercises grouping sets; money in DECIMAL then cast."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .rollup("n_name", "o_year")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_supplier_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-class ranking: dense_rank of suppliers by revenue within nation,
+    top 3 kept.  Ordering on the EXACT decimal sum (not the double cast) so
+    rank ties break identically in Spark and the oracle."""
+    from pyspark.sql import Window
+
+    li = _read(spark, sf_dir, "lineitem")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")))
+    per_supp = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.sum(rev).alias("rev_d"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("rev_d"), F.asc("s_suppkey"))
+    return (
+        per_supp.withColumn("rnk", F.dense_rank().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "n_name",
+            "s_suppkey",
+            F.col("rev_d").cast("double").alias("revenue"),
+            "rnk",
+        )
+    )
+
+
+def q_repeat_customer_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 set ops: INTERSECT of the 1995 and 1996 customer-key sets."""
+    o = _read(spark, sf_dir, "orders").withColumn("y", F.year("o_orderdate"))
+    c95 = o.where(F.col("y") == 1995).select("o_custkey")
+    c96 = o.where(F.col("y") == 1996).select("o_custkey")
+    return c95.intersect(c96)
+
+
+def q_order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per status × priority (A7's confusion-matrix
+    shape generalized).  Explicit value list keeps the schema static."""
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    o = _read(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .count()
+        .na.fill(0, [p for p in prios])
+    )
+    renames = {p: f"p{p[0]}" for p in prios}  # p1..p5: oracle-safe names
+    for old, new in renames.items():
+        piv = piv.withColumnRenamed(old, new)
+    return piv
+
+
+def q_string_hash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 string-level dedup dictionary: md5 → occurrence count over raw
+    document text (the unique_strings/string_counts tables,
+    preprocessing.py:279-295)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("hash")).agg(F.count("*").alias("n"))
+
+
+def q_media_features_by_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: deterministic synthetic media → binary-column
+    feature extraction (mapInPandas) → per-kind stats.  Rows-only: media is
+    synthesized (decode stubs documented in operators/multimodal.py)."""
+    from entity_resolution_pipeline_spark.operators import multimodal as M
+
+    media = M.synthetic_media_df(spark, 120)
+    feats = M.extract_media_features(media, dim=16)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.countDistinct("content_hash").alias("n_distinct"),
+        )
+    )
+
+
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: decision-threshold sweep on the labeled fixture — (threshold,
+    precision, recall, f1) per grid point.  Rows-only: model training."""
+    import pandas as pd
+
+    from entity_resolution_pipeline_spark import synth
+    from entity_resolution_pipeline_spark.operators import classify as C
+    from entity_resolution_pipeline_spark.operators import features as FE
+    from entity_resolution_pipeline_spark.config import DEFAULT_CONFIG
+    from entity_resolution_pipeline_spark.plans import pipeline as PL
+    from entity_resolution_pipeline_spark.schemas import LABELED_PAIRS
+    import numpy as np
+
+    pages = synth.pages_df(spark, 600)
+    gt = spark.createDataFrame(synth.ground_truth_pdf(600), LABELED_PAIRS)
+    res = PL.run_labeled(pages, gt, DEFAULT_CONFIG)
+    feature_cols = FE.selected_feature_names(
+        DEFAULT_CONFIG.features, DEFAULT_CONFIG.feature_selection
+    )
+    pairs = gt.select(
+        F.col("left").alias("left_id"), F.col("right").alias("right_id"), "match"
+    )
+    feats = PL.featurize_pairs(pairs, res, DEFAULT_CONFIG).toPandas()
+    X = feats[feature_cols].to_numpy(dtype=float)
+    y = feats["match"].to_numpy(dtype=int)
+    m = res.model
+    scaled = (X - np.array([m.scaler[c][0] for c in feature_cols])) / np.array(
+        [m.scaler[c][1] for c in feature_cols]
+    ) if getattr(m, "scaler", None) else X
+    probs = C.sigmoid(scaled @ m.weights + m.bias)
+    rows = []
+    for t in np.linspace(0.1, 0.9, 9):
+        ev = C.evaluate(y, probs, float(t))
+        rows.append(
+            {
+                "threshold": round(float(t), 2),
+                "precision": round(ev["precision"], 6),
+                "recall": round(ev["recall"], 6),
+                "f1": round(ev["f1"], 6),
+            }
+        )
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_groups": q_exact_dedup_groups,
@@ -471,6 +619,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_candidates": q_winnow_candidates,
         "impute_hotdeck": q_impute_hotdeck,
         "er_cluster_stats": q_er_cluster_stats,
+        "revenue_rollup": q_revenue_rollup,
+        "supplier_rank_in_nation": q_supplier_rank_in_nation,
+        "repeat_customer_intersect": q_repeat_customer_intersect,
+        "order_priority_pivot": q_order_priority_pivot,
+        "string_hash_counts": q_string_hash_counts,
+        "media_features_by_kind": q_media_features_by_kind,
+        "threshold_sweep": q_threshold_sweep,
     }
 
 
@@ -649,5 +804,51 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "revenue_rollup": """
+            SELECT n_name, o_year,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                            (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                        AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM (SELECT n_name, year(o_orderdate) AS o_year,
+                         l_extendedprice, l_discount
+                  FROM lineitem
+                  JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey)
+            GROUP BY ROLLUP (n_name, o_year)
+        """,
+        "supplier_rank_in_nation": """
+            WITH per_supp AS (
+              SELECT n_name, s_suppkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                         (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev_d
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              GROUP BY 1, 2)
+            SELECT n_name, s_suppkey, CAST(rev_d AS DOUBLE) AS revenue, rnk FROM (
+              SELECT n_name, s_suppkey, rev_d,
+                     dense_rank() OVER (PARTITION BY n_name
+                                        ORDER BY rev_d DESC, s_suppkey) AS rnk
+              FROM per_supp) WHERE rnk <= 3
+        """,
+        "repeat_customer_intersect": """
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        """,
+        "order_priority_pivot": """
+            SELECT o_orderstatus,
+                   sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS p1,
+                   sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)::BIGINT AS p2,
+                   sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)::BIGINT AS p3,
+                   sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)::BIGINT AS p4,
+                   sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS p5
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "string_hash_counts": """
+            SELECT md5(text) AS hash, count(*) AS n FROM documents GROUP BY 1
         """,
     }

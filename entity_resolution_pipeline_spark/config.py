@@ -34,12 +34,14 @@ class EmbeddingConfig:
     src/batch_parallel_embedding.py:300-386 — north rule mandates locally
     computed embeddings)."""
 
-    dimensions: int = 1024         # hashed-projection width; reference used 1536
+    dimensions: int = 256          # hashed-projection width; reference used 1536
     # dense OpenAI dims (config.yml:29).  Empirically (synthetic fixture,
-    # IDF on): 512/1024/4096 dims all reach pairwise F1 ≥ 0.999 — IDF
-    # weighting, not width, carries the signal — while pairwise-cosine cost
-    # scales linearly with width; 1024 balances corpus-scale collision
-    # headroom against the per-pair Arrow transfer.
+    # IDF on): 256/512/1024/4096 dims all reach pairwise F1 ≥ 0.999 — IDF
+    # weighting, not width, carries the signal — while EVERY downstream
+    # vector cost (embed UDF, unique-vector collect for the broadcast
+    # matrix, per-pair cosine gathers) scales linearly with width.  256 cut
+    # the serial vector-collect term 4× (the Amdahl bottleneck of the N-vs-4N
+    # scaling criterion) with no measurable quality change.
     char_ngram: int = 4            # character shingle width for the hashed projection
     fields_to_embed: tuple[str, ...] = EMBED_FIELDS
     use_idf: bool = True           # IDF-weight hash buckets by corpus document
@@ -214,3 +216,15 @@ class PipelineConfig:
 
 
 DEFAULT_CONFIG = PipelineConfig()
+
+
+def python_stage_width(spark) -> int:
+    """Partition count for Python-UDF (Arrow) stages: HALF the scheduler
+    slots, floor 4.  A pandas-UDF task keeps ~2 threads busy — the JVM side
+    feeding/draining Arrow batches plus the Python worker computing — so one
+    UDF task per core oversubscribes the box 2×; measured on local[32] as a
+    sustained 60-90% kernel-time storm and a 2× slower stage.  Half-width
+    restores one busy thread per core.  The same sizing applies
+    per-executor on a real cluster (e.g. 8-core executors → 4-task Python
+    stages via spark.task.cpus=2 or explicit repartition)."""
+    return max(spark.sparkContext.defaultParallelism // 2, 4)

@@ -42,9 +42,14 @@ def block_membership(
     minhash_udf = make_minhash_udf(num_hashes=cfg.num_hashes, k=cfg.shingle_size)
     band_udf = make_band_keys_udf(bands=cfg.bands)
 
+    from ..config import python_stage_width
+
     keyed = (
         records.where(F.col(key_col).isNotNull())
         .select(F.col(id_col).alias("id"), F.col(key_col))
+        # coalesce (no shuffle) to half-width before the Arrow UDF pass —
+        # see config.python_stage_width
+        .coalesce(python_stage_width(records.sparkSession))
         .withColumn("block_base", F.lower(normalize_name_udf(key_col)))
     )
     # Signatures are computed directly per record in ONE shuffle-free pass.

@@ -29,11 +29,20 @@ def embed_unique_strings(
     """
     from ..functions.embed import make_embed_udf
 
+    from ..config import python_stage_width
+
     embeddable = melted.where(F.col("field").isin(*cfg.fields_to_embed))
     freq = embeddable.groupBy("hash", "field").agg(
         F.count("*").alias("frequency"), F.first("value_norm").alias("value")
     )
-    distinct_strings = embeddable.select("hash", "value_norm").dropDuplicates(["hash"])
+    # repartition-on-key BEFORE dropDuplicates: provides the hash
+    # distribution the dedup needs (no extra exchange) while pinning the
+    # downstream embed-UDF stage to half-width (config.python_stage_width)
+    distinct_strings = (
+        embeddable.select("hash", "value_norm")
+        .repartition(python_stage_width(melted.sparkSession), "hash")
+        .dropDuplicates(["hash"])
+    )
 
     weights = None
     if cfg.use_idf:

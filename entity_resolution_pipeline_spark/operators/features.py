@@ -300,8 +300,11 @@ _NULL_SENT = "NULL"
 
 
 def _parallelism(df: DataFrame) -> int:
-    """Target partition count for Python-UDF stages."""
-    return df.sparkSession.sparkContext.defaultParallelism
+    """Target partition count for Python-UDF stages (see
+    config.python_stage_width for the half-width rationale)."""
+    from ..config import python_stage_width
+
+    return python_stage_width(df.sparkSession)
 
 
 def _ncos_udf():
@@ -336,7 +339,13 @@ _MMAP_CACHE: dict[str, np.ndarray] = {}
 _FUSED_CACHE: dict[str, dict[str, dict]] = {}
 
 
-def _fused_battery_udf(bc_vec, bc_strings, cfg: FeatureConfig, out_schema: StructType):
+def _fused_battery_udf(
+    bc_vec,
+    bc_strings,
+    cfg: FeatureConfig,
+    out_schema: StructType,
+    passthrough: tuple[str, ...] = (),
+):
     """ONE mapInPandas pass computing the entire battery over the narrow
     pair×hash rows (pw0), resolving vectors from the host-shared mmap matrix
     and person strings from a broadcast dict.
@@ -365,11 +374,8 @@ def _fused_battery_udf(bc_vec, bc_strings, cfg: FeatureConfig, out_schema: Struc
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import SparkFiles
 
-        from ..functions.birth_death import extract_birth_death_years, normalize_name
-        from ..functions.similarity import (
-            jaro_winkler_similarity,
-            levenshtein_similarity,
-        )
+        from ..functions.birth_death import extract_birth_death_years
+        from ..functions.similarity import jaro_winkler_similarity
 
         index, mat_name = bc_vec.value
         mat = _MMAP_CACHE.get(mat_name)
@@ -380,20 +386,10 @@ def _fused_battery_udf(bc_vec, bc_strings, cfg: FeatureConfig, out_schema: Struc
         # keyed by the (per-invocation-unique) matrix file name: worker-side
         # Broadcast handles don't expose .id
         caches = _FUSED_CACHE.setdefault(
-            mat_name, {"norm": {}, "years": {}, "sims": {}}
+            mat_name, {"years": {}, "sims": {}}
         )
-        norm_c, years_c, sims_c = caches["norm"], caches["years"], caches["sims"]
-        fns = {
-            "levenshtein": levenshtein_similarity,
-            "jaro_winkler": jaro_winkler_similarity,
-        }
-
-        def _norm(h: str) -> str:
-            v = norm_c.get(h)
-            if v is None:
-                v = normalize_name(strings.get(h) or "")
-                norm_c[h] = v
-            return v
+        years_c, sims_c = caches["years"], caches["sims"]
+        fns = {"jaro_winkler": jaro_winkler_similarity}
 
         def _years(h: str):
             v = years_c.get(h)
@@ -442,33 +438,29 @@ def _fused_battery_udf(bc_vec, bc_strings, cfg: FeatureConfig, out_schema: Struc
 
             lh_col = pdf[f"l_{sf}_h"]
             rh_col = pdf[f"r_{sf}_h"]
-            if raw_metrics or norm_metrics:
-                cols = {m: np.zeros(n) for m in raw_metrics}
-                ncols = {m: np.zeros(n) for m in norm_metrics}
-                for i, (ha, hb) in enumerate(zip(lh_col, rh_col)):
-                    if not ha or ha == _NULL_SENT or not hb or hb == _NULL_SENT:
-                        continue
-                    key = (ha, hb)
-                    vals = sims_c.get(key)
-                    if vals is None:
-                        x = strings.get(ha) or ""
-                        y = strings.get(hb) or ""
-                        vals = {}
-                        for m in raw_metrics:
-                            vals[f"raw_{m}"] = fns[m](x, y) if x and y else 0.0
-                        if norm_metrics:
-                            nx, ny = _norm(ha), _norm(hb)
-                            for m in norm_metrics:
-                                vals[f"norm_{m}"] = fns[m](nx, ny) if nx and ny else 0.0
-                        sims_c[key] = vals
-                    for m in raw_metrics:
-                        cols[m][i] = vals[f"raw_{m}"]
-                    for m in norm_metrics:
-                        ncols[m][i] = vals[f"norm_{m}"]
-                for m in raw_metrics:
-                    out[f"{sf}_{m}"] = cols[m]
-                for m in norm_metrics:
-                    out[f"{sf}_norm_{m}"] = ncols[m]
+            # levenshtein arrives precomputed (JVM codegen expression over
+            # the carried string columns — see pair_features_hashed)
+            for nm in passthrough:
+                out[nm] = pdf[nm].to_numpy(dtype=np.float64)
+            # jaro-winkler (no Spark builtin) runs here, straight off the
+            # carried string columns, memoized per distinct string pair
+            def _jw_block(lcol: pd.Series, rcol: pd.Series, out_name: str) -> None:
+                vals = np.zeros(n)
+                jw = fns["jaro_winkler"]
+                for i, (a, b) in enumerate(zip(lcol, rcol)):
+                    if a and b:
+                        key = (a, b)
+                        v = sims_c.get(key)
+                        if v is None:
+                            v = jw(a, b)
+                            sims_c[key] = v
+                        vals[i] = v
+                out[out_name] = vals
+
+            if "jaro_winkler" in raw_metrics:
+                _jw_block(pdf["l_pv"], pdf["r_pv"], f"{sf}_jaro_winkler")
+            if "jaro_winkler" in norm_metrics:
+                _jw_block(pdf["l_pn"], pdf["r_pn"], f"{sf}_norm_jaro_winkler")
 
             def _sims2(f1: str, f2: str):
                 s1 = out.get(f"{f1}_cosine")
@@ -600,6 +592,14 @@ def pair_features_hashed(
     from pyspark import StorageLevel
 
     valid = lambda c: c.isNotNull() & (c != _NULL_SENT)  # noqa: E731
+    sfld = cfg.string_similarity_field
+    raw_metrics = tuple(
+        m for m in cfg.string_similarity_metrics if m in ("levenshtein", "jaro_winkler")
+    )
+    norm_metrics = tuple(
+        m for m in cfg.normalized_name_sims if m in ("levenshtein", "jaro_winkler")
+    )
+
     l = rfh.select(
         F.col("record_id").alias("left_id"),
         *[F.col(f).alias(f"l_{f}_h") for f in EMBED_FIELDS],
@@ -608,6 +608,40 @@ def pair_features_hashed(
         F.col("record_id").alias("right_id"),
         *[F.col(f).alias(f"r_{f}_h") for f in EMBED_FIELDS],
     )
+    if raw_metrics or norm_metrics:
+        # String-similarity inputs resolved ONCE per distinct person hash and
+        # carried as pair-row COLUMNS: levenshtein then runs as a
+        # whole-stage-codegen JVM expression over the pair table (the pure-
+        # Python DP was ~60 µs/pair — the dominant per-pair cost at 2M+
+        # candidates), and jaro-winkler reads the strings without any
+        # per-row dict lookup.  The normalize cascade runs once per distinct
+        # hash, not once per pair.
+        from ..functions.birth_death import normalize_name_udf
+
+        pstr = (
+            rfh.select(F.col(sfld).alias("hash"))
+            .where(valid(F.col("hash")))
+            .distinct()
+            .join(unique_strings, "hash")
+            .select("hash", "value")
+        )
+        scols = []
+        if raw_metrics:
+            scols.append(F.col("value").alias("pv"))
+        if norm_metrics:
+            pstr = pstr.withColumn("nval", normalize_name_udf("value"))
+            scols.append(F.col("nval").alias("pn"))
+        pstr = F.broadcast(pstr.select("hash", *scols))
+        sel_l = [F.col("hash").alias(f"l_{sfld}_h")]
+        sel_r = [F.col("hash").alias(f"r_{sfld}_h")]
+        if raw_metrics:
+            sel_l.append(F.col("pv").alias("l_pv"))
+            sel_r.append(F.col("pv").alias("r_pv"))
+        if norm_metrics:
+            sel_l.append(F.col("pn").alias("l_pn"))
+            sel_r.append(F.col("pn").alias("r_pn"))
+        l = l.join(pstr.select(*sel_l), f"l_{sfld}_h", "left")
+        r = r.join(pstr.select(*sel_r), f"r_{sfld}_h", "left")
     # The narrow pair×hash base is materialized ONCE; every distinct-hash-pair
     # set derives from it (deriving them from the growing join chain would
     # re-execute each sim UDF per downstream join — quadratic lineage).  In
@@ -617,42 +651,44 @@ def pair_features_hashed(
 
     if cfg.broadcast_vectors:
         # One driver-side collect of the DEDUP'D vector table, broadcast once
-        # and shared by every cosine stage and both pair sides.  Vectors are
-        # packed to float32 BYTES executor-side first: collecting raw
-        # list<float> columns via toPandas materializes tens of millions of
-        # Python floats (measured 10× slower than the binary path).
-        from pyspark.sql.functions import pandas_udf as _pudf
-        from pyspark.sql.types import BinaryType as _Bin
-
-        @_pudf(_Bin())
-        def _pack(v: pd.Series) -> pd.Series:
-            return v.map(lambda x: np.asarray(x, dtype=np.float32).tobytes())
-
-        vp = vectors.select("hash", _pack("embedding").alias("b")).toPandas()
-        dim = len(vp["b"].iloc[0]) // 4 if len(vp) else 0
-        mat = np.frombuffer(b"".join(vp["b"]), dtype=np.float32).reshape(len(vp), dim)
-        index = {h: i for i, h in enumerate(vp["hash"])}
+        # and shared by every cosine stage and both pair sides.  This collect
+        # is the pipeline's only irreducibly-serial term (Amdahl bottleneck
+        # of the N-vs-4N scaling criterion), so it is kept zero-copy: Arrow
+        # hands the list<float> column over as one contiguous values buffer
+        # (`toArrow` → .values), no per-row Python, no intermediate pack UDF
+        # stage.
+        tbl = vectors.select("hash", "embedding").toArrow()
+        emb_col = tbl.column("embedding").combine_chunks()
+        n_vec = len(tbl)
+        dim = len(emb_col[0]) if n_vec else 0
+        mat = (
+            np.asarray(emb_col.values, dtype=np.float32).reshape(n_vec, dim)
+            if n_vec
+            else np.zeros((0, 0), dtype=np.float32)
+        )
+        index = {h: i for i, h in enumerate(tbl.column("hash").to_pylist())}
         # ship the matrix as an npy FILE (addFile), not through the pickle
         # broadcast: workers np.load(mmap_mode='r') and share page cache —
         # per-worker load cost was the main anti-scaling term at high core
-        # counts
+        # counts.  Prefer tmpfs for the staging write when available.
         import tempfile
         import uuid
 
         sc = pairs.sparkSession.sparkContext
         mat_name = f"erx-vecmat-{uuid.uuid4().hex}.npy"
-        mat_path = os.path.join(tempfile.gettempdir(), mat_name)
+        stage_dir = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+        mat_path = os.path.join(stage_dir, mat_name)
         np.save(mat_path, mat)
         sc.addFile(mat_path)
+        # NOTE: the staging file must outlive the DataFrame — local-mode
+        # executors fetch addFile sources lazily at first task use
         bc = sc.broadcast((index, mat_name))
 
-        # person strings (string sims + birth/death) — the small side by
-        # construction: distinct person hashes reachable from the pairs
-        sfld = cfg.string_similarity_field
-        lh, rh = f"l_{sfld}_h", f"r_{sfld}_h"
+        # person strings for birth/death year extraction — the small side by
+        # construction: distinct person hashes over the records table, read
+        # with ONE narrow column scan
         sp = (
-            pw0.select(F.col(lh).alias("h"))
-            .unionAll(pw0.select(F.col(rh).alias("h")))
+            rfh.select(F.col(sfld).alias("h"))
             .where(valid(F.col("h")))
             .distinct()
             .join(unique_strings, F.col("h") == F.col("hash"))
@@ -670,10 +706,35 @@ def pair_features_hashed(
             fields.append(StructField("match", pw0.schema["match"].dataType, True))
         fields += [StructField(nm, DoubleType(), True) for nm in feature_names(cfg)]
         out_schema = StructType(fields)
-        fused = _fused_battery_udf(bc, bc_strings, cfg, out_schema)
-        # explicit repartition: the Python stage must run at full width
+
+        # levenshtein similarities as whole-stage-codegen JVM expressions
+        # over the carried string columns; the fused UDF passes them through
+        def lev_expr(a, b):
+            mx = F.greatest(F.length(a), F.length(b))
+            return (
+                F.when(
+                    (F.length(a) > 0) & (F.length(b) > 0),
+                    1.0 - F.levenshtein(a, b) / mx,
+                )
+                .otherwise(0.0)
+                .cast("double")
+            )
+
+        pw_in = pw0
+        jvm_sims = []
+        if "levenshtein" in raw_metrics:
+            pw_in = pw_in.withColumn(f"{sfld}_levenshtein", lev_expr(F.col("l_pv"), F.col("r_pv")))
+            jvm_sims.append(f"{sfld}_levenshtein")
+        if "levenshtein" in norm_metrics:
+            pw_in = pw_in.withColumn(
+                f"{sfld}_norm_levenshtein", lev_expr(F.col("l_pn"), F.col("r_pn"))
+            )
+            jvm_sims.append(f"{sfld}_norm_levenshtein")
+
+        fused = _fused_battery_udf(bc, bc_strings, cfg, out_schema, passthrough=tuple(jvm_sims))
+        # explicit repartition: the Python stage must run at half-width
         # regardless of AQE's byte-based coalescing (UDF cost/row ≫ bytes/row)
-        return pw0.repartition(_parallelism(pairs)).mapInPandas(fused, schema=out_schema)
+        return pw_in.repartition(_parallelism(pairs)).mapInPandas(fused, schema=out_schema)
 
     # ---- shuffle-join path (vector table exceeds executor memory) ----
     ncos = _ncos_udf()

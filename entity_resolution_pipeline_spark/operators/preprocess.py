@@ -39,9 +39,13 @@ def melt_fields(records: DataFrame) -> DataFrame:
     field value.  The normalize+hash battery runs as one Arrow UDF pass."""
     from ..functions.hashing import normalize_udf, string_hash_udf
 
+    from ..config import python_stage_width
+
     n = len(_ALL)
     stack_args = ", ".join(f"'{f}', {f}" for f in _ALL)
-    melted = records.select(
+    # coalesce (no shuffle) to half-width before the Arrow UDF pass — see
+    # config.python_stage_width; the scan is cheap, the UDF stage is not
+    melted = records.coalesce(python_stage_width(records.sparkSession)).select(
         "record_id", F.expr(f"stack({n}, {stack_args}) as (field, value)")
     ).where(F.col("value").isNotNull() & ~F.col("value").isin(*NULL_VALUES))
     melted = melted.withColumn(

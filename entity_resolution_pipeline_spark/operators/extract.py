@@ -38,14 +38,9 @@ _HTML_PATTERNS = {
 }
 
 
-def extract_records(pages: DataFrame) -> DataFrame:
-    """(url, warc_ts, html, text, lang) → RECORDS.
-
-    record_id is derived from the url tail (the synthetic generator encodes
-    it there); composite is the extracted text itself — so `composite` is
-    byte-identical to the page text per url, which is the invariant the
-    tests pin.
-    """
+def extraction_columns() -> list:
+    """The extraction projection as column expressions (shared by the batch
+    and streaming paths — both are the same pure per-row projection)."""
     text = F.coalesce(F.col("text"), F.decode(F.col("html"), "UTF-8"))
     cols = [
         F.regexp_replace(
@@ -59,7 +54,29 @@ def extract_records(pages: DataFrame) -> DataFrame:
         html_fallback = F.regexp_extract(F.decode(F.col("html"), "UTF-8"), _HTML_PATTERNS[field], 1)
         value = F.when(F.col("text").isNotNull(), extracted).otherwise(html_fallback)
         cols.append(null_canon_col(value).alias(field))
-    out = pages.select(*cols)
-    return out.select(
-        "record_id", "url", "composite", "person", "roles", "title", "provision", "subjects"
+    return cols
+
+
+_RECORD_COLS = (
+    "record_id", "url", "composite", "person", "roles", "title", "provision", "subjects"
+)
+
+
+def extract_records(pages: DataFrame) -> DataFrame:
+    """(url, warc_ts, html, text, lang) → RECORDS.
+
+    record_id is derived from the url tail (the synthetic generator encodes
+    it there); composite is the extracted text itself — so `composite` is
+    byte-identical to the page text per url, which is the invariant the
+    tests pin.
+    """
+    return pages.select(*extraction_columns()).select(*_RECORD_COLS)
+
+
+def extract_records_with_ts(pages: DataFrame) -> DataFrame:
+    """Extraction keeping the event-time column (streaming path: downstream
+    watermarks need warc_ts; a join-back would force a shuffle, one wider
+    projection does not)."""
+    return pages.select(F.col("warc_ts"), *extraction_columns()).select(
+        "warc_ts", *_RECORD_COLS
     )

@@ -298,6 +298,10 @@ def selected_feature_names(
 
 _NULL_SENT = "NULL"
 
+# wall-clock of the driver-serial staging steps inside the last
+# pair_features_hashed call (Amdahl accounting for the scaling bench)
+LAST_STAGING: dict[str, float] = {}
+
 
 def _parallelism(df: DataFrame) -> int:
     """Target partition count for Python-UDF stages (see
@@ -649,6 +653,9 @@ def pair_features_hashed(
     pw0 = pairs.join(l, "left_id").join(r, "right_id").persist(StorageLevel.MEMORY_AND_DISK)
     pw = pw0
 
+    import time as _time
+
+    LAST_STAGING.clear()
     if cfg.broadcast_vectors:
         # One driver-side collect of the DEDUP'D vector table, broadcast once
         # and shared by every cosine stage and both pair sides.  This collect
@@ -657,7 +664,10 @@ def pair_features_hashed(
         # hands the list<float> column over as one contiguous values buffer
         # (`toArrow` → .values), no per-row Python, no intermediate pack UDF
         # stage.
+        _t0 = _time.time()
         tbl = vectors.select("hash", "embedding").toArrow()
+        LAST_STAGING["collect_vectors"] = _time.time() - _t0
+        _t0 = _time.time()
         emb_col = tbl.column("embedding").combine_chunks()
         n_vec = len(tbl)
         dim = len(emb_col[0]) if n_vec else 0
@@ -680,6 +690,8 @@ def pair_features_hashed(
         mat_path = os.path.join(stage_dir, mat_name)
         np.save(mat_path, mat)
         sc.addFile(mat_path)
+        LAST_STAGING["stage_matrix"] = _time.time() - _t0
+        _t0 = _time.time()
         # NOTE: the staging file must outlive the DataFrame — local-mode
         # executors fetch addFile sources lazily at first task use
         bc = sc.broadcast((index, mat_name))
@@ -696,6 +708,7 @@ def pair_features_hashed(
             .toPandas()
         )
         bc_strings = sc.broadcast(dict(zip(sp["h"], sp["value"])))
+        LAST_STAGING["person_strings"] = _time.time() - _t0
 
         has_match = "match" in pairs.columns
         fields = [

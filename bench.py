@@ -64,6 +64,11 @@ def make_spark(cpus: int, app: str):
         # broadcast hash joins instead of shuffling the 100×-larger pair table
         .config("spark.sql.autoBroadcastJoinThreshold", "128m")
     )
+    evdir = os.environ.get("SPARK_GRAFT_EVLOG")
+    if evdir:
+        b = b.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", f"file://{evdir}"
+        )
     if os.path.isdir("/dev/shm"):
         # shuffle/spill on tmpfs: on this single box every core shares one
         # disk, so shuffle I/O serializes core scaling; a real cluster gives
@@ -104,7 +109,6 @@ def run_er_pipeline(spark, n_records: int = 8000, cpus: int | None = None) -> di
     from entity_resolution_pipeline_spark import synth
     from entity_resolution_pipeline_spark.config import DEFAULT_CONFIG
     from entity_resolution_pipeline_spark.operators import blocking as B
-    from entity_resolution_pipeline_spark.operators import classify as C
     from entity_resolution_pipeline_spark.operators import cluster as G
     from entity_resolution_pipeline_spark.plans import pipeline as PL
 
@@ -122,8 +126,7 @@ def run_er_pipeline(spark, n_records: int = 8000, cpus: int | None = None) -> di
     candidates = B.candidate_pairs(membership, cfg.blocking).persist()
     candidates.count()
     t_score = time.time()
-    features = PL.featurize_pairs(candidates, prep, cfg)
-    predictions = C.score(features, model).persist()
+    predictions = PL.score_pairs(candidates, prep, model, cfg).persist()
     n_pred = predictions.count()
     score_wall = time.time() - t_score
     clusters = G.cluster_predictions(

@@ -349,6 +349,7 @@ def _fused_battery_udf(
     cfg: FeatureConfig,
     out_schema: StructType,
     passthrough: tuple[str, ...] = (),
+    score_params: tuple | None = None,
 ):
     """ONE mapInPandas pass computing the entire battery over the narrow
     pair×hash rows (pw0), resolving vectors from the host-shared mmap matrix
@@ -530,6 +531,26 @@ def _fused_battery_udf(
                         0.0,
                     )
 
+            if score_params is not None:
+                # fused LR scoring: one matmul over the in-memory feature
+                # arrays — skips a full second Python stage (features →
+                # Arrow → score UDF → Arrow) and returns the narrow
+                # predictions schema instead of 20+ feature doubles/row
+                feat_cols, w_eff, b_eff, thr = score_params
+                X = np.column_stack(
+                    [out.get(c, np.zeros(n)) for c in feat_cols]
+                )
+                z = np.clip(X @ w_eff + b_eff, -100, 100)
+                probs = 1.0 / (1.0 + np.exp(-z))
+                yield pd.DataFrame(
+                    {
+                        "left_id": pdf["left_id"],
+                        "right_id": pdf["right_id"],
+                        "probability": probs,
+                        "match": probs >= thr,
+                    }
+                )[out_cols]
+                continue
             res = pd.DataFrame({"left_id": pdf["left_id"], "right_id": pdf["right_id"]})
             if "match" in out_cols:
                 res["match"] = pdf["match"]
@@ -570,12 +591,36 @@ def _string_sims_udf(metrics: tuple[str, ...], norm_metrics: tuple[str, ...]):
     return sims
 
 
+def pair_predictions_hashed(
+    pairs: DataFrame,
+    rfh: DataFrame,
+    unique_strings: DataFrame,
+    vectors: DataFrame,
+    model,
+    cfg: FeatureConfig = FeatureConfig(),
+) -> DataFrame:
+    """Fused featurize+score for the predict path: ONE Python stage computes
+    the battery AND the LR probability per Arrow batch, emitting the narrow
+    PREDICTIONS schema.  vs. score(pair_features_hashed(...)) this removes a
+    complete second Python stage round-trip of the 20+-column feature table
+    — at 10^12-pair scale the feature table never materializes at all.
+    Bit-identical to the unfused path (pinned by test_classify)."""
+    if cfg.broadcast_vectors:
+        return pair_features_hashed(
+            pairs, rfh, unique_strings, vectors, cfg, _score_model=model
+        )
+    from .classify import score
+
+    return score(pair_features_hashed(pairs, rfh, unique_strings, vectors, cfg), model)
+
+
 def pair_features_hashed(
     pairs: DataFrame,
     rfh: DataFrame,
     unique_strings: DataFrame,
     vectors: DataFrame,
     cfg: FeatureConfig = FeatureConfig(),
+    _score_model=None,
 ) -> DataFrame:
     """The scale-path feature battery: every expensive similarity is computed
     once per DISTINCT (left_hash, right_hash) pair — not per record pair —
@@ -715,10 +760,31 @@ def pair_features_hashed(
             StructField("left_id", pw0.schema["left_id"].dataType, False),
             StructField("right_id", pw0.schema["right_id"].dataType, False),
         ]
-        if has_match:
-            fields.append(StructField("match", pw0.schema["match"].dataType, True))
-        fields += [StructField(nm, DoubleType(), True) for nm in feature_names(cfg)]
-        out_schema = StructType(fields)
+        score_params = None
+        if _score_model is not None:
+            from pyspark.sql.types import BooleanType
+
+            # fold the scaler into the weights (see classify.score)
+            mu = np.array([_score_model.scaler[c][0] for c in _score_model.feature_names])
+            sd = np.array([_score_model.scaler[c][1] for c in _score_model.feature_names])
+            w_eff = _score_model.weights / sd
+            b_eff = float(_score_model.bias - np.dot(_score_model.weights, mu / sd))
+            score_params = (
+                list(_score_model.feature_names),
+                w_eff,
+                b_eff,
+                _score_model.decision_threshold,
+            )
+            fields += [
+                StructField("probability", DoubleType(), False),
+                StructField("match", BooleanType(), False),
+            ]
+            out_schema = StructType(fields)
+        else:
+            if has_match:
+                fields.append(StructField("match", pw0.schema["match"].dataType, True))
+            fields += [StructField(nm, DoubleType(), True) for nm in feature_names(cfg)]
+            out_schema = StructType(fields)
 
         # levenshtein similarities as whole-stage-codegen JVM expressions
         # over the carried string columns; the fused UDF passes them through
@@ -744,7 +810,10 @@ def pair_features_hashed(
             )
             jvm_sims.append(f"{sfld}_norm_levenshtein")
 
-        fused = _fused_battery_udf(bc, bc_strings, cfg, out_schema, passthrough=tuple(jvm_sims))
+        fused = _fused_battery_udf(
+            bc, bc_strings, cfg, out_schema,
+            passthrough=tuple(jvm_sims), score_params=score_params,
+        )
         # explicit repartition: the Python stage must run at half-width
         # regardless of AQE's byte-based coalescing (UDF cost/row ≫ bytes/row)
         return pw_in.repartition(_parallelism(pairs)).mapInPandas(fused, schema=out_schema)

@@ -81,6 +81,17 @@ def featurize_pairs(
     return feats.persist(StorageLevel.MEMORY_AND_DISK)
 
 
+def score_pairs(
+    pairs: DataFrame, prep: PipelineResult, model: Any, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Predict-path scoring: fused featurize+score, one Python stage, narrow
+    PREDICTIONS out (see features.pair_predictions_hashed)."""
+    vectors = prep.embeddings.select("hash", "embedding").dropDuplicates(["hash"])
+    return FE.pair_predictions_hashed(
+        pairs, prep.record_field_hashes, prep.unique_strings, vectors, model, cfg.features
+    )
+
+
 def run_labeled(
     pages: DataFrame,
     labeled_pairs: DataFrame,
@@ -122,8 +133,7 @@ def run_dedup(
 
     membership = B.block_membership(prep.records, cfg.blocking)
     candidates = B.candidate_pairs(membership, cfg.blocking)
-    cand_features = featurize_pairs(candidates, prep, cfg)
-    predictions = C.score(cand_features, model)
+    predictions = score_pairs(candidates, prep, model, cfg)
     clusters = G.cluster_predictions(
         predictions, prep.records.select("record_id"), cfg.clustering
     )

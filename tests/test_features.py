@@ -64,6 +64,39 @@ def test_hashed_equals_wide_row_battery(prep):
             ), c
 
 
+def test_fused_scoring_matches_unfused(prep):
+    """pair_predictions_hashed (one fused Python stage) must reproduce
+    score(pair_features_hashed(...)) bit-for-bit — same sigmoid clip, same
+    folded scaler."""
+    from entity_resolution_pipeline_spark.operators import classify as C
+
+    melted, uniq, rfh, vectors, pairs = prep
+    cfg = DEFAULT_CONFIG
+    feats = FE.pair_features_hashed(pairs, rfh, uniq, vectors, cfg.features)
+    cols = FE.selected_feature_names(cfg.features, cfg.feature_selection)
+    model, _ = C.fit(feats, cols, cfg.classifier)
+
+    unfused = (
+        C.score(feats, model)
+        .toPandas()
+        .set_index(["left_id", "right_id"])
+        .sort_index()
+    )
+    fused = (
+        FE.pair_predictions_hashed(
+            pairs.drop("match"), rfh, uniq, vectors, model, cfg.features
+        )
+        .toPandas()
+        .set_index(["left_id", "right_id"])
+        .sort_index()
+    )
+    assert len(unfused) == len(fused)
+    assert (unfused["match"] == fused["match"]).all()
+    assert np.allclose(
+        unfused["probability"].to_numpy(), fused["probability"].to_numpy(), atol=1e-12
+    )
+
+
 def test_feature_names_and_selection():
     cfg = DEFAULT_CONFIG.features
     names = FE.feature_names(cfg)

@@ -589,6 +589,136 @@ def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pd.DataFrame(rows))
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text mining: per-document top-3 TF-IDF terms (alpha-token split,
+    ln(N/df), deterministic tie-break on term)."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (linear interpolation) of document length
+    per language — percentile(), not approx_percentile, so the oracle can
+    match bit-for-bit."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99"),
+    )
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → new-session flag →
+    running sum → per-session aggregates.  The batch form of the streaming
+    session-window pattern."""
+    from pyspark.sql import Window
+
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+            > 1800 * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog: top-10 revenue among BUILDING-segment orders placed
+    before / shipped after 1997-06-01 (3-way join, broadcastable dims)."""
+    cutoff = "1997-06-01"
+    customer = _read(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _read(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    lineitem = _read(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        lineitem.join(
+            orders, lineitem["l_orderkey"] == orders["o_orderkey"]
+        )
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts, top-100 (n-gram construction via zip_with over
+    adjacent token slices — no UDF)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != "").alias(
+            "t"
+        )
+    ).where(F.size("t") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(100)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_groups": q_exact_dedup_groups,
@@ -626,6 +756,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_hash_counts": q_string_hash_counts,
         "media_features_by_kind": q_media_features_by_kind,
         "threshold_sweep": q_threshold_sweep,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "doc_length_quantiles": q_doc_length_quantiles,
+        "sessionization": q_sessionization,
+        "top_unshipped_orders": q_top_unshipped_orders,
+        "bigram_counts": q_bigram_counts,
     }
 
 
@@ -850,5 +985,74 @@ def oracle_sql() -> dict[str, str]:
         """,
         "string_hash_counts": """
             SELECT md5(text) AS hash, count(*) AS n FROM documents GROUP BY 1
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                        x -> x <> '')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT doc_id, term, round(tf * ln(n.n / dfreq.df), 6) AS tfidf
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY tfidf DESC, term ASC) AS rk
+              FROM scored)
+            SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 3
+        """,
+        "doc_length_quantiles": """
+            SELECT lang, count(*) AS n_docs,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 6) AS p90,
+                   round(quantile_cont(n_chars, 0.99), 6) AS p99
+            FROM documents GROUP BY lang
+        """,
+        "sessionization": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM flagged)
+            SELECT user_id, session_idx,
+                   count(*) AS n_events,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end
+            FROM sess GROUP BY 1, 2
+        """,
+        "top_unshipped_orders": """
+            SELECT l.l_orderkey, o.o_orderdate,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1997-06-01'
+              AND l.l_shipdate > TIMESTAMP '1997-06-01'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, l.l_orderkey ASC
+            LIMIT 10
+        """,
+        "bigram_counts": """
+            WITH toks AS (
+              SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            bg AS (
+              SELECT unnest(list_transform(range(1, len(t)),
+                                           i -> t[i] || ' ' || t[i + 1])) AS bigram
+              FROM toks WHERE len(t) >= 2)
+            SELECT bigram, count(*) AS n FROM bg
+            GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 100
         """,
     }

@@ -66,8 +66,10 @@ def make_spark(cpus: int, app: str):
     )
     evdir = os.environ.get("SPARK_GRAFT_EVLOG")
     if evdir:
-        b = b.config("spark.eventLog.enabled", "true").config(
-            "spark.eventLog.dir", f"file://{evdir}"
+        b = (
+            b.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", f"file://{evdir}")
+            .config("spark.eventLog.compress", "false")
         )
     if os.path.isdir("/dev/shm"):
         # shuffle/spill on tmpfs: on this single box every core shares one

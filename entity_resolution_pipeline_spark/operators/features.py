@@ -334,7 +334,50 @@ def _ncos_udf():
     return ncos
 
 
-_MMAP_CACHE: dict[str, np.ndarray] = {}
+class _ShardedMatrix:
+    """Worker-side view of the shard-staged vector matrix: lazy mmap per
+    shard file, vectorized gather by (shard << 32 | row) codes.  Shards hold
+    UNIT vectors (pre-normalized at write time, so cosine is one dot with no
+    per-pair norms); a `.norms.npy` sidecar carries the original norms —
+    only their >0 flag is consumed, to keep the zero-vector-is-missing
+    semantics of the unsharded path."""
+
+    def __init__(self, shard_paths: list[str], dim: int):
+        self.paths = shard_paths
+        self.dim = dim
+        self._mats: list = [None] * len(shard_paths)
+        self._norms: list = [None] * len(shard_paths)
+
+    def _shard(self, s: int) -> tuple[np.ndarray, np.ndarray]:
+        m = self._mats[s]
+        if m is None:
+            m = np.load(self.paths[s], mmap_mode="r")
+            self._mats[s] = m
+            self._norms[s] = np.load(
+                self.paths[s][: -len(".npy")] + ".norms.npy", mmap_mode="r"
+            )
+        return m, self._norms[s]
+
+    def gather(self, codes: np.ndarray, ok: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """codes: int64 (shard<<32|row), -1 for missing → (unit-vector matrix
+        (n,dim), norm vector (n,)); rows with ~ok stay zero."""
+        n = len(codes)
+        A = np.zeros((n, self.dim), dtype=np.float32)
+        nv = np.zeros(n, dtype=np.float32)
+        if ok.any():
+            act = codes[ok]
+            rows_out = np.nonzero(ok)[0]
+            shards = act >> 32
+            rows = act & 0xFFFFFFFF
+            for s in np.unique(shards):
+                m = shards == s
+                mat, norms = self._shard(int(s))
+                A[rows_out[m]] = mat[rows[m]]
+                nv[rows_out[m]] = norms[rows[m]]
+        return A, nv
+
+
+_MMAP_CACHE: dict[str, "_ShardedMatrix"] = {}
 
 # worker-local memoization shared across Arrow batches, keyed by the
 # per-invocation matrix file name (a new featurize call ⇒ fresh caches; same
@@ -345,7 +388,6 @@ _FUSED_CACHE: dict[str, dict[str, dict]] = {}
 
 def _fused_battery_udf(
     bc_vec,
-    bc_strings,
     cfg: FeatureConfig,
     out_schema: StructType,
     passthrough: tuple[str, ...] = (),
@@ -377,41 +419,47 @@ def _fused_battery_udf(
     out_cols = [f.name for f in out_schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import SparkFiles
-
         from ..functions.birth_death import extract_birth_death_years
         from ..functions.similarity import jaro_winkler_similarity
 
-        index, mat_name = bc_vec.value
-        mat = _MMAP_CACHE.get(mat_name)
+        index, shard_paths, dim, mat_key = bc_vec.value
+        mat = _MMAP_CACHE.get(mat_key)
         if mat is None:
-            mat = np.load(SparkFiles.get(mat_name), mmap_mode="r")
-            _MMAP_CACHE[mat_name] = mat
-        strings = bc_strings.value
-        # keyed by the (per-invocation-unique) matrix file name: worker-side
+            mat = _ShardedMatrix(shard_paths, dim)
+            _MMAP_CACHE[mat_key] = mat
+        # keyed by the (per-invocation-unique) staging dir: worker-side
         # Broadcast handles don't expose .id
         caches = _FUSED_CACHE.setdefault(
-            mat_name, {"years": {}, "sims": {}}
+            mat_key, {"years": {}, "sims": {}}
         )
         years_c, sims_c = caches["years"], caches["sims"]
         fns = {"jaro_winkler": jaro_winkler_similarity}
 
-        def _years(h: str):
+        def _years(h: str, value):
+            """Years per distinct person hash, memoized; the value comes off
+            the carried pair-row column (same unique_strings source the old
+            broadcast dict read)."""
             v = years_c.get(h)
             if v is None:
-                v = extract_birth_death_years(strings.get(h) or "")
+                v = extract_birth_death_years(value or "")
                 years_c[h] = v
             return v
 
-        def _valid_idx(col: pd.Series, n: int) -> np.ndarray:
-            return np.fromiter(
+        def _valid_idx(col: pd.Series) -> np.ndarray:
+            """Hash column → matrix codes, resolved once per DISTINCT hash in
+            the batch (factorize + per-unique dict get), -1 for missing."""
+            codes, uniqs = pd.factorize(col)
+            u_codes = np.fromiter(
                 (
                     index.get(h, -1) if (h is not None and h != _NULL_SENT) else -1
-                    for h in col
+                    for h in uniqs
                 ),
                 dtype=np.int64,
-                count=n,
+                count=len(uniqs),
             )
+            if not len(uniqs):
+                return np.full(len(col), -1, dtype=np.int64)
+            return np.where(codes >= 0, u_codes[np.clip(codes, 0, None)], -1)
 
         for pdf in batches:
             n = len(pdf)
@@ -420,17 +468,16 @@ def _fused_battery_udf(
             out: dict[str, np.ndarray] = {}
             present: dict[str, np.ndarray] = {}
             for f in cfg.cosine_similarities:
-                li = _valid_idx(pdf[f"l_{f}_h"], n)
-                ri = _valid_idx(pdf[f"r_{f}_h"], n)
+                li = _valid_idx(pdf[f"l_{f}_h"])
+                ri = _valid_idx(pdf[f"r_{f}_h"])
                 ok = (li >= 0) & (ri >= 0)
-                A = mat[np.where(ok, li, 0)]
-                B = mat[np.where(ok, ri, 0)]
-                na = np.linalg.norm(A, axis=1)
-                nb = np.linalg.norm(B, axis=1)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    sims = np.einsum("ij,ij->i", A, B) / (na * nb)
+                A, na = mat.gather(li, ok)
+                B, nb = mat.gather(ri, ok)
+                # shards hold unit vectors: cosine is one dot; the stored
+                # norms only contribute the zero-vector-is-missing mask
+                sims = np.einsum("ij,ij->i", A, B)
                 ncos = ((sims.astype(np.float64) + 1.0) / 2.0)
-                out[f"{f}_cosine"] = np.where(ok & np.isfinite(sims), ncos, 0.0)
+                out[f"{f}_cosine"] = np.where(ok & (na > 0) & (nb > 0), ncos, 0.0)
                 present[f] = ok
                 if f == "title" and cfg.title_cosine_squared_enabled:
                     out["title_cosine_squared"] = out["title_cosine"] ** 2
@@ -441,26 +488,27 @@ def _fused_battery_udf(
                         0.0,
                     )
 
-            lh_col = pdf[f"l_{sf}_h"]
-            rh_col = pdf[f"r_{sf}_h"]
             # levenshtein arrives precomputed (JVM codegen expression over
             # the carried string columns — see pair_features_hashed)
             for nm in passthrough:
                 out[nm] = pdf[nm].to_numpy(dtype=np.float64)
             # jaro-winkler (no Spark builtin) runs here, straight off the
-            # carried string columns, memoized per distinct string pair
+            # carried string columns.  factorize → compute once per DISTINCT
+            # string pair in the batch (memoized across batches) → scatter
+            # by code: no per-row Python dict lookups in the hot loop.
             def _jw_block(lcol: pd.Series, rcol: pd.Series, out_name: str) -> None:
-                vals = np.zeros(n)
                 jw = fns["jaro_winkler"]
-                for i, (a, b) in enumerate(zip(lcol, rcol)):
-                    if a and b:
-                        key = (a, b)
-                        v = sims_c.get(key)
-                        if v is None:
-                            v = jw(a, b)
-                            sims_c[key] = v
-                        vals[i] = v
-                out[out_name] = vals
+                combined = lcol.fillna("").str.cat(rcol.fillna(""), sep="\x01")
+                codes, uniqs = pd.factorize(combined)
+                vals_u = np.empty(len(uniqs))
+                for j, u in enumerate(uniqs):
+                    v = sims_c.get(u)
+                    if v is None:
+                        a, _, b = u.partition("\x01")
+                        v = jw(a, b) if a and b else 0.0
+                        sims_c[u] = v
+                    vals_u[j] = v
+                out[out_name] = vals_u[codes]
 
             if "jaro_winkler" in raw_metrics:
                 _jw_block(pdf["l_pv"], pdf["r_pv"], f"{sf}_jaro_winkler")
@@ -496,19 +544,21 @@ def _fused_battery_udf(
                 out[f"{f1}_{f2}_ratio"] = np.where(both & (s2 > 0), ratio, 0.0)
 
             if cfg.birth_death_enabled:
-                lb = np.full(n, np.nan)
-                ld = np.full(n, np.nan)
-                rb = np.full(n, np.nan)
-                rd = np.full(n, np.nan)
-                for i, (ha, hb) in enumerate(zip(lh_col, rh_col)):
-                    if ha and ha != _NULL_SENT:
-                        y = _years(ha)
-                        lb[i] = np.nan if y[0] is None else y[0]
-                        ld[i] = np.nan if y[1] is None else y[1]
-                    if hb and hb != _NULL_SENT:
-                        y = _years(hb)
-                        rb[i] = np.nan if y[0] is None else y[0]
-                        rd[i] = np.nan if y[1] is None else y[1]
+                # factorize per side: the year cascade runs once per DISTINCT
+                # person string in the batch (memoized across batches)
+                def _years_arrays(col: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+                    codes, uniqs = pd.factorize(col)
+                    b_u = np.full(len(uniqs) + 1, np.nan)
+                    d_u = np.full(len(uniqs) + 1, np.nan)
+                    for j, v in enumerate(uniqs):
+                        y = _years(v, v)
+                        b_u[j] = np.nan if y[0] is None else y[0]
+                        d_u[j] = np.nan if y[1] is None else y[1]
+                    # code -1 (null value → no person) maps to the trailing NaN
+                    return b_u[codes], d_u[codes]
+
+                lb, ld = _years_arrays(pdf["l_pv"])
+                rb, rd = _years_arrays(pdf["r_pv"])
                 out["birth_death_left"] = (~np.isnan(lb) | ~np.isnan(ld)).astype(np.float64)
                 out["birth_death_right"] = (~np.isnan(rb) | ~np.isnan(rd)).astype(np.float64)
                 bd_match = (
@@ -551,12 +601,15 @@ def _fused_battery_udf(
                     }
                 )[out_cols]
                 continue
-            res = pd.DataFrame({"left_id": pdf["left_id"], "right_id": pdf["right_id"]})
+            # single-constructor build (per-column inserts re-consolidate the
+            # block manager each time — measured ~10% of the batch)
+            data = {"left_id": pdf["left_id"], "right_id": pdf["right_id"]}
             if "match" in out_cols:
-                res["match"] = pdf["match"]
+                data["match"] = pdf["match"]
+            zeros = np.zeros(n)
             for nm in names:
-                res[nm] = out.get(nm, np.zeros(n))
-            yield res[out_cols]
+                data[nm] = out.get(nm, zeros)
+            yield pd.DataFrame(data)[out_cols]
 
     return run
 
@@ -657,7 +710,11 @@ def pair_features_hashed(
         F.col("record_id").alias("right_id"),
         *[F.col(f).alias(f"r_{f}_h") for f in EMBED_FIELDS],
     )
-    if raw_metrics or norm_metrics:
+    # the raw person value is also carried when the fused path needs
+    # birth/death years — extracting them from the carried column kills the
+    # separate person-strings collect+broadcast job the driver used to run
+    need_pv = bool(raw_metrics) or (cfg.birth_death_enabled and cfg.broadcast_vectors)
+    if need_pv or norm_metrics:
         # String-similarity inputs resolved ONCE per distinct person hash and
         # carried as pair-row COLUMNS: levenshtein then runs as a
         # whole-stage-codegen JVM expression over the pair table (the pure-
@@ -675,7 +732,7 @@ def pair_features_hashed(
             .select("hash", "value")
         )
         scols = []
-        if raw_metrics:
+        if need_pv:
             scols.append(F.col("value").alias("pv"))
         if norm_metrics:
             pstr = pstr.withColumn("nval", normalize_name_udf("value"))
@@ -683,7 +740,7 @@ def pair_features_hashed(
         pstr = F.broadcast(pstr.select("hash", *scols))
         sel_l = [F.col("hash").alias(f"l_{sfld}_h")]
         sel_r = [F.col("hash").alias(f"r_{sfld}_h")]
-        if raw_metrics:
+        if need_pv:
             sel_l.append(F.col("pv").alias("l_pv"))
             sel_r.append(F.col("pv").alias("r_pv"))
         if norm_metrics:
@@ -702,58 +759,76 @@ def pair_features_hashed(
 
     LAST_STAGING.clear()
     if cfg.broadcast_vectors:
-        # One driver-side collect of the DEDUP'D vector table, broadcast once
-        # and shared by every cosine stage and both pair sides.  This collect
-        # is the pipeline's only irreducibly-serial term (Amdahl bottleneck
-        # of the N-vs-4N scaling criterion), so it is kept zero-copy: Arrow
-        # hands the list<float> column over as one contiguous values buffer
-        # (`toArrow` → .values), no per-row Python, no intermediate pack UDF
-        # stage.
-        _t0 = _time.time()
-        tbl = vectors.select("hash", "embedding").toArrow()
-        LAST_STAGING["collect_vectors"] = _time.time() - _t0
-        _t0 = _time.time()
-        emb_col = tbl.column("embedding").combine_chunks()
-        n_vec = len(tbl)
-        dim = len(emb_col[0]) if n_vec else 0
-        mat = (
-            np.asarray(emb_col.values, dtype=np.float32).reshape(n_vec, dim)
-            if n_vec
-            else np.zeros((0, 0), dtype=np.float32)
-        )
-        index = {h: i for i, h in enumerate(tbl.column("hash").to_pylist())}
-        # ship the matrix as an npy FILE (addFile), not through the pickle
-        # broadcast: workers np.load(mmap_mode='r') and share page cache —
-        # per-worker load cost was the main anti-scaling term at high core
-        # counts.  Prefer tmpfs for the staging write when available.
+        # DISTRIBUTED matrix staging: executors write float32 npy shards of
+        # the dedup'd vector table in parallel (one shard per Arrow batch);
+        # the driver collects only (hash, shard, row) — O(uniques) small
+        # values, never the vectors.  This removes the former driver-side
+        # toArrow collect + np.save, the pipeline's dominant serial term in
+        # the N-vs-4N scaling criterion: the serial remainder is the tiny
+        # index collect + dict build.  Workers np.load(mmap_mode='r') each
+        # shard lazily and share page cache.  The staging dir must be
+        # host-shared (tmpfs here); on a multi-host cluster point it at a
+        # shared filesystem — or set broadcast_vectors=False for the
+        # shuffle-join path that needs no shared storage.
         import tempfile
         import uuid
 
-        sc = pairs.sparkSession.sparkContext
-        mat_name = f"erx-vecmat-{uuid.uuid4().hex}.npy"
-        stage_dir = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-        mat_path = os.path.join(stage_dir, mat_name)
-        np.save(mat_path, mat)
-        sc.addFile(mat_path)
-        LAST_STAGING["stage_matrix"] = _time.time() - _t0
         _t0 = _time.time()
-        # NOTE: the staging file must outlive the DataFrame — local-mode
-        # executors fetch addFile sources lazily at first task use
-        bc = sc.broadcast((index, mat_name))
+        sc = pairs.sparkSession.sparkContext
+        stage_root = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+        mat_dir = os.path.join(stage_root, f"erx-vecmat-{uuid.uuid4().hex}")
+        os.makedirs(mat_dir, exist_ok=True)
 
-        # person strings for birth/death year extraction — the small side by
-        # construction: distinct person hashes over the records table, read
-        # with ONE narrow column scan
-        sp = (
-            rfh.select(F.col(sfld).alias("h"))
-            .where(valid(F.col("h")))
-            .distinct()
-            .join(unique_strings, F.col("h") == F.col("hash"))
-            .select("h", "value")
+        def _write_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import uuid as _uuid
+
+            for pdf in batches:
+                keep = pdf["embedding"].notna()
+                pdf = pdf[keep]
+                if not len(pdf):
+                    continue
+                arr = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+                # pre-normalize: downstream cosine is then one dot product;
+                # original norms ride a sidecar (>0 flag = presence mask)
+                norms = np.linalg.norm(arr, axis=1)
+                nz = norms > 0
+                arr[nz] /= norms[nz, None]
+                name = f"shard-{_uuid.uuid4().hex}.npy"
+                np.save(os.path.join(mat_dir, name), arr)
+                np.save(os.path.join(mat_dir, name[: -len(".npy")] + ".norms.npy"), norms)
+                yield pd.DataFrame(
+                    {
+                        "hash": pdf["hash"].to_numpy(),
+                        "shard": name,
+                        "row": np.arange(len(pdf), dtype=np.int64),
+                    }
+                )
+
+        idx_pdf = (
+            vectors.select("hash", "embedding")
+            .mapInPandas(_write_shards, schema="hash string, shard string, row long")
             .toPandas()
         )
-        bc_strings = sc.broadcast(dict(zip(sp["h"], sp["value"])))
-        LAST_STAGING["person_strings"] = _time.time() - _t0
+        if len(idx_pdf):
+            shard_names = sorted(idx_pdf["shard"].unique().tolist())
+            shard_ids = {nm: i for i, nm in enumerate(shard_names)}
+            codes = (
+                idx_pdf["shard"].map(shard_ids).to_numpy(dtype=np.int64) << 32
+            ) | idx_pdf["row"].to_numpy(dtype=np.int64)
+            index = dict(zip(idx_pdf["hash"], codes.tolist()))
+            shard_paths = [os.path.join(mat_dir, nm) for nm in shard_names]
+            # header-only read for the dimension (same shared path the
+            # workers use)
+            dim = int(np.load(shard_paths[0], mmap_mode="r").shape[1])
+        else:
+            index, shard_paths, dim = {}, [], 1
+        LAST_STAGING["stage_matrix"] = _time.time() - _t0
+        _t0 = _time.time()
+        # NOTE: the staging dir must outlive the DataFrame — workers mmap
+        # shards lazily at first task use
+        bc = sc.broadcast((index, shard_paths, dim, mat_dir))
+        # birth/death years read the carried l_pv/r_pv pair-row columns —
+        # no separate person-strings collect+broadcast job
 
         has_match = "match" in pairs.columns
         fields = [
@@ -811,7 +886,7 @@ def pair_features_hashed(
             jvm_sims.append(f"{sfld}_norm_levenshtein")
 
         fused = _fused_battery_udf(
-            bc, bc_strings, cfg, out_schema,
+            bc, cfg, out_schema,
             passthrough=tuple(jvm_sims), score_params=score_params,
         )
         # explicit repartition: the Python stage must run at half-width

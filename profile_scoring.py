@@ -31,11 +31,18 @@ def _stage_report(evlog_dir: str, after_ms: float = 0) -> list[dict]:
     import glob
 
     stages = {}
-    for path in glob.glob(os.path.join(evlog_dir, "*")):
+    paths = [
+        p
+        for p in glob.glob(os.path.join(evlog_dir, "**", "*"), recursive=True)
+        if os.path.isfile(p) and "appstatus" not in os.path.basename(p)
+    ]
+    for path in paths:
         for line in open(path, errors="replace"):
             try:
                 ev = json.loads(line)
             except Exception:
+                continue
+            if not isinstance(ev, dict):
                 continue
             e = ev.get("Event")
             if e == "SparkListenerStageCompleted":

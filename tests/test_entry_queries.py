@@ -44,6 +44,10 @@ def _diff(sdf, odf) -> None:
     s = sdf[cols].sort_values(cols).reset_index(drop=True)
     o = odf[cols].sort_values(cols).reset_index(drop=True)
     for c in cols:
+        # normalize datetime unit (Spark→pandas = ns, DuckDB→pandas = us)
+        for df in (s, o):
+            if np.issubdtype(df[c].dtype, np.datetime64):
+                df[c] = df[c].astype("datetime64[ns]")
         a, b = s[c].to_numpy(), o[c].to_numpy()
         try:
             af, bf = a.astype(float), b.astype(float)

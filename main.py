@@ -7,7 +7,11 @@ inputs from the previous stage's table, writes its output table + a manifest
 lineage row, and `--resume` skips stages whose manifest row is complete.
 
 Stages (in order): extract, preprocess, embed, block, features, train,
-predict, cluster, report.  `--stage all` runs the full sequence.
+predict, cluster, report.  `--stage all` runs the full sequence.  `--stage
+predict` without a checkpointed features table takes the fused
+battery+scoring path (one Python stage, no feature materialization).
+`--stage ingest` runs the incremental Structured Streaming ingest instead
+of the batch stages (exactly-once per input file; see streaming/ingest.py).
 
 Usage:
   spark-submit --py-files erx.zip main.py --pages /data/pages --out /work \
@@ -48,7 +52,7 @@ def build_spark(app: str, shuffle_partitions: int | None = None):
     return b.getOrCreate()
 
 
-def run(args: argparse.Namespace) -> None:
+def run(args: argparse.Namespace, stop_spark: bool = True) -> None:
     from pyspark.sql import functions as F
 
     from entity_resolution_pipeline_spark.config import DEFAULT_CONFIG
@@ -66,6 +70,17 @@ def run(args: argparse.Namespace) -> None:
     cfg = DEFAULT_CONFIG
     spark = build_spark("erx-pipeline", cfg.shuffle_partitions)
     out = args.out
+
+    if args.stage == "ingest":
+        # incremental Structured Streaming ingest (exactly-once per input
+        # file; rerun any time — only new files produce work).  Batch stages
+        # then run over the accumulated tables.
+        from entity_resolution_pipeline_spark.streaming import run_incremental
+
+        run_incremental(spark, args.pages, out, cfg)
+        if stop_spark:
+            spark.stop()
+        return
 
     wanted = STAGES if args.stage == "all" else (args.stage,)
 
@@ -137,8 +152,21 @@ def run(args: argparse.Namespace) -> None:
     if should_run("predict"):
         with open(os.path.join(out, "model.pkl"), "rb") as f:
             model = pickle.load(f)
-        feats = table("features")
-        M.write_stage_table(C.score(feats, model), out, "predict")
+        if M.stage_complete(spark, out, "features"):
+            # resumable two-stage path: score the checkpointed feature table
+            preds = C.score(table("features"), model)
+        else:
+            # fused path: battery + scoring in one Python stage, feature
+            # table never materializes (features.pair_predictions_hashed)
+            preds = FE.pair_predictions_hashed(
+                table("block"),
+                table("record_field_hashes"),
+                table("unique_strings"),
+                table("embed").select("hash", "embedding").dropDuplicates(["hash"]),
+                model,
+                cfg.features,
+            )
+        M.write_stage_table(preds, out, "predict")
 
     if should_run("cluster"):
         preds = table("predict")
@@ -163,7 +191,8 @@ def run(args: argparse.Namespace) -> None:
         M.record_stage(spark, out, "report", rows=0)
         print(json.dumps(report.get("clusters", {}), indent=1, default=float))
 
-    spark.stop()
+    if stop_spark:
+        spark.stop()
 
 
 def main() -> None:
@@ -171,7 +200,7 @@ def main() -> None:
     ap.add_argument("--pages", help="pages parquet path (url,warc_ts,html,text,lang)")
     ap.add_argument("--labeled-pairs", help="labeled pair CSV (left,right,match)")
     ap.add_argument("--out", required=True, help="output/working directory")
-    ap.add_argument("--stage", default="all", choices=STAGES + ("all",))
+    ap.add_argument("--stage", default="all", choices=STAGES + ("all", "ingest"))
     ap.add_argument("--resume", action="store_true", help="skip manifest-complete stages")
     run(ap.parse_args())
 

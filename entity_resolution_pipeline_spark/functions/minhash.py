@@ -40,16 +40,40 @@ def _coeffs(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_POLY_B = 1000003  # polynomial rolling-hash base
+
+
+def _pows(k: int) -> np.ndarray:
+    pw = np.empty(k, dtype=np.uint64)
+    acc = 1
+    for i in range(k):
+        pw[i] = acc
+        acc = (acc * _POLY_B) % _MERSENNE_P
+    return pw
+
+
+_POW_CACHE: dict[int, np.ndarray] = {}
+
+
 def shingle_set(text: str, k: int = 3) -> np.ndarray:
-    """crc32 values of the k-char shingles of the lowercased padded string."""
-    padded = f" {text.lower()} "
-    if len(padded) <= k:
-        grams = [padded]
+    """Distinct hash values of the k-byte shingles of the lowercased padded
+    string — fully vectorized: one sliding_window_view + one uint64 matvec
+    per document (the per-substring crc32 loop was ~1000× slower; each term
+    < 255·p·k < 2⁴³, exact in uint64, same 31/32-bit collision regime as
+    crc32)."""
+    data = np.frombuffer(f" {text.lower()} ".encode("utf-8"), dtype=np.uint8)
+    pw = _POW_CACHE.get(k)
+    if pw is None:
+        pw = _pows(k)
+        _POW_CACHE[k] = pw
+    if len(data) <= k:
+        padded = np.zeros(k, dtype=np.uint8)
+        padded[: len(data)] = data
+        w = padded[None, :]
     else:
-        grams = [padded[i : i + k] for i in range(len(padded) - k + 1)]
-    return np.unique(
-        np.fromiter((zlib.crc32(g.encode("utf-8")) for g in grams), dtype=np.uint64)
-    )
+        w = np.lib.stride_tricks.sliding_window_view(data, k)
+    hv = (w.astype(np.uint64) * pw[None, :]).sum(axis=1) % np.uint64(_MERSENNE_P)
+    return np.unique(hv)
 
 
 def _sig_from_shingles(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:

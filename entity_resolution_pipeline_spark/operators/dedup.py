@@ -161,12 +161,24 @@ def minhash_lsh_pairs(
         make_shingle_udf,
     )
 
+    from pyspark import StorageLevel
+
+    from ..config import python_stage_width
+
     mh = make_minhash_udf(num_hashes=num_hashes, k=shingle_k)
     bk = make_band_keys_udf(bands=bands)
     sh = make_shingle_udf(k=shingle_k)
-    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    # a small-file corpus scans as one partition — the signature UDF (the
+    # dominant per-doc cost) must still run at stage width
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).repartition(
+        python_stage_width(docs.sparkSession)
+    )
 
-    bids = base.select("id", F.explode(bk(mh("text"))).alias("key"))
+    # signatures computed ONCE (persisted): both the banding explode and the
+    # estimate prefilter read the same column — the shingling+MinHash UDF
+    # is the dominant per-doc cost and must not run twice
+    sigs = base.select("id", mh("text").alias("sig")).persist(StorageLevel.MEMORY_AND_DISK)
+    bids = sigs.select("id", F.explode(bk("sig")).alias("key"))
     l = bids.alias("l")
     r = bids.alias("r")
     cands = (
@@ -175,8 +187,6 @@ def minhash_lsh_pairs(
         .select(F.col("l.id").alias("left_id"), F.col("r.id").alias("right_id"))
         .dropDuplicates()
     )
-
-    sigs = base.select("id", mh("text").alias("sig"))
     est_floor = max(
         threshold - 3.0 * (threshold * (1.0 - threshold) / num_hashes) ** 0.5, 0.0
     )
@@ -213,8 +223,12 @@ def simhash_pairs(
     bands: pigeonhole ⇒ at least one 16-bit band equal).  Block on each of
     the 4 bands, verify with bit_count(xor) — all JVM exprs after the one
     signature UDF."""
+    from ..config import python_stage_width
+
     sim = make_simhash_udf()
-    base = docs.select(F.col(id_col).alias("id"), sim(F.col(text_col)).alias("sig"))
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col)).repartition(
+        python_stage_width(docs.sparkSession)  # see minhash_lsh_pairs note
+    ).select("id", sim(F.col(text_col)).alias("sig"))
     bandcols = [
         F.concat(F.lit(f"{i}:"), F.shiftright("sig", 16 * i).bitwiseAND(F.lit(0xFFFF)).cast("string")).alias("band")
         for i in range(4)

@@ -387,9 +387,10 @@ def q_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (winnowing, Schleimer et al.): near-dup
     candidates = documents sharing ≥ 25 fingerprints (k=16-grams keep the
     fingerprints selective on this small-vocabulary corpus). Rows-only."""
+    from entity_resolution_pipeline_spark.config import python_stage_width
     from entity_resolution_pipeline_spark.functions.text_analysis import make_winnow_udf
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents").repartition(python_stage_width(spark))
     w = make_winnow_udf(k=16, window=6)
     fps = docs.select("doc_id", F.explode(w("text")).alias("fp")).dropDuplicates()
     l = fps.alias("l")

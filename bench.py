@@ -19,6 +19,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "40000"))
@@ -153,6 +155,18 @@ def bench_queries(spark) -> tuple[dict, dict]:
     qs = E.queries()
     times: dict[str, float] = {}
     extra: dict[str, dict] = {}
+    # one-time engine warmup, excluded from per-query timings (JIT/codegen
+    # compile + Python-worker spawn are per-JVM costs, not per-query costs):
+    # a tiny scan and a no-op Arrow UDF round-trip
+    from pyspark.sql.functions import col, pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    spark.range(0, 10000, numPartitions=8).select(_warm(col("id"))).count()
     for name in HEADLINE:
         t0 = time.time()
         if name == "er_dedup_pipeline":

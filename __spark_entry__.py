@@ -383,6 +383,16 @@ def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(emb, k=3, dim=64, n_planes=8, n_tables=4)
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate all-pairs top-3 neighbors via an IVF coarse quantizer
+    (spherical k-means cells + n_probe probing, FAISS-IVF-Flat style).
+    Rows-only: cell assignment is algorithm-specific."""
+    from entity_resolution_pipeline_spark.operators.ann import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, k=3, n_centroids=16, n_probe=4)
+
+
 def q_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (winnowing, Schleimer et al.): near-dup
     candidates = documents sharing ≥ 25 fingerprints (k=16-grams keep the
@@ -747,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_rollup": q_hourly_rollup,
         "birth_death_extract": q_birth_death_extract,
         "srp_ann_topk": q_srp_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "winnow_candidates": q_winnow_candidates,
         "impute_hotdeck": q_impute_hotdeck,
         "er_cluster_stats": q_er_cluster_stats,

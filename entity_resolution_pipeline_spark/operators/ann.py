@@ -1,6 +1,6 @@
 """Similarity search over an embedding column.
 
-Two tiers, mirroring how a 100 TB pipeline actually runs ANN:
+Three tiers, mirroring how a 100 TB pipeline actually runs ANN:
 
 * brute_force_topk — exact cosine top-k: broadcast the (small) query set,
   one Arrow pass computes a (batch × queries) matrix product per partition,
@@ -12,6 +12,13 @@ Two tiers, mirroring how a 100 TB pipeline actually runs ANN:
 * lsh_bucket_topk — scale path: sign-random-projection LSH (Charikar '02)
   buckets both sides; per-bucket exact rerank; probing multiple tables
   trades recall for cost.  No server, no index build beyond one shuffle.
+
+* ivf_topk — the other classic scale path (IVF / coarse quantizer, as in
+  FAISS IVF-Flat): spherical k-means centroids trained driver-side on a
+  deterministic sample, every vector assigned to its nearest cell, queries
+  probe their n_probe nearest cells; exact cosine rerank within probed
+  cells.  Data-adaptive where SRP is oblivious — better recall/cost on
+  clustered corpora; the centroid table IS the index (broadcast, no server).
 
 Replaces the reference's Weaviate HNSW server (docker-compose.yml:18-22,
 batch_parallel_indexing.py:283-294) with pure computation + shuffle.
@@ -127,6 +134,124 @@ def make_srp_bucket_udf(dim: int, n_planes: int = 12, n_tables: int = 4, seed: i
         return pd.Series(keys)
 
     return srp_udf
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Spherical k-means centroids (unit vectors) on a DETERMINISTIC sample:
+    the first `sample` rows by id — stable across runs and parallelism
+    levels, unlike rand()-sampling.  Driver-side numpy Lloyd iterations:
+    the sample is O(thousands) regardless of corpus size; only the (tiny)
+    centroid matrix ships back out."""
+    pdf = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).toPandas()
+    if not len(pdf):
+        return np.zeros((0, 0))
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n_centroids = min(n_centroids, len(Xn))
+    rng = np.random.Generator(np.random.PCG64(seed))
+    C = Xn[rng.choice(len(Xn), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for c in range(n_centroids):
+            members = Xn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                C[c] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def make_ivf_cells_udf(centroids: np.ndarray, n_probe: int):
+    """Arrow UDF: vector → struct(cell int, probes array<int>).  cell =
+    nearest centroid (home cell, where the vector is indexed); probes =
+    n_probe nearest cells (what a query scans)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    schema = StructType(
+        [
+            StructField("cell", IntegerType(), False),
+            StructField("probes", ArrayType(IntegerType()), False),
+        ]
+    )
+    C = centroids
+    np_ = min(n_probe, len(C)) if len(C) else 0
+
+    @pandas_udf(schema)
+    def cells_udf(vecs: pd.Series) -> pd.DataFrame:
+        if not len(vecs):
+            return pd.DataFrame({"cell": [], "probes": []})
+        M = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = Mn @ C.T  # (n, n_centroids)
+        order = np.argsort(-sims, axis=1)[:, :np_]
+        return pd.DataFrame(
+            {
+                "cell": order[:, 0].astype(np.int32),
+                "probes": [row.astype(np.int32).tolist() for row in order],
+            }
+        )
+
+    return cells_udf
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample: int = 4096,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate all-pairs top-k via an IVF coarse quantizer: each vector
+    is indexed in its home cell; as a query it probes its n_probe nearest
+    cells; exact cosine rerank within probed cells (JVM exprs, like
+    lsh_bucket_topk).  The cell join shuffles on cell id only — cost
+    Σ_cell |probing queries| × |members|, sub-quadratic when the quantizer
+    spreads the corpus."""
+    C = train_ivf_centroids(corpus, n_centroids, id_col, vec_col, sample, seed=seed)
+    cells = make_ivf_cells_udf(C, n_probe)
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    ).withColumn("c", cells("vec"))
+    members = base.select("id", "vec", F.col("c.cell").alias("cell"))
+    queries = base.select("id", "vec", F.explode(F.col("c.probes")).alias("cell"))
+    l = queries.alias("l")
+    r = members.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col("l.vec"), F.col("r.vec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(f"{side}.vec"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    pairs = (
+        l.join(r, "cell")
+        .where(F.col("l.id") != F.col("r.id"))
+        .select(
+            F.col("l.id").alias("query_id"),
+            F.col("r.id").alias("neighbor_id"),
+            F.round(dot / (norm("l") * norm("r")), 6).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
 
 
 def lsh_bucket_topk(

@@ -103,6 +103,36 @@ def test_lsh_bucket_topk_recall(spark):
     assert 1 in got  # the planted neighbor must be found
 
 
+def test_ivf_topk_recall_and_determinism(spark):
+    """On a clustered corpus the IVF quantizer must recover within-cluster
+    neighbors; cells/output must be identical across partitioning."""
+    rng = np.random.Generator(np.random.PCG64(5))
+    n_clusters, per, d = 8, 25, 16
+    centers = rng.standard_normal((n_clusters, d)) * 4
+    rows = []
+    for c in range(n_clusters):
+        pts = centers[c] + rng.standard_normal((per, d)) * 0.1
+        for i, p in enumerate(pts):
+            rows.append((c * per + i, (p / np.linalg.norm(p)).tolist()))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = ann.brute_force_topk(
+        emb, [(0, rows[0][1]), (50, rows[50][1])], k=3
+    )
+    approx = ann.ivf_topk(emb, k=3, n_centroids=8, n_probe=2, sample=200)
+    for qid in (0, 50):
+        want = {r["neighbor_id"] for r in exact.where(f"query_id = {qid}").collect()}
+        got = {r["neighbor_id"] for r in approx.where(f"query_id = {qid}").collect()}
+        assert len(want & got) >= 2, (qid, want, got)  # recall@3 ≥ 2/3
+
+    again = ann.ivf_topk(
+        emb.repartition(7), k=3, n_centroids=8, n_probe=2, sample=200
+    )
+    a = sorted(map(tuple, approx.collect()))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b  # deterministic across partitioning
+
+
 def test_token_count_and_quality(spark):
     df = spark.createDataFrame(
         [(0, "the cat sat on the mat"), (1, "   "), (2, "xyzzy")], ["doc_id", "text"]

@@ -16,9 +16,33 @@ from pyspark.sql import functions as F
 from ..config import EmbeddingConfig
 
 
+def corpus_idf_weights(melted: DataFrame, cfg: EmbeddingConfig) -> list[float]:
+    """Per-bucket IDF weights over the corpus's distinct embeddable strings.
+    Train-time output: freeze and pass to `embed_unique_strings(weights=...)`
+    to embed NEW data under the training-time featurization (incremental /
+    streaming scoring must not let old strings' vectors drift as the corpus
+    grows — IDF weights are learned parameters, like the LR weights)."""
+    from ..functions.embed import bucket_document_frequencies, bucket_idf_weights
+
+    distinct_strings = (
+        melted.where(F.col("field").isin(*cfg.fields_to_embed))
+        .select("hash", "value_norm")
+        .dropDuplicates(["hash"])
+        .persist()
+    )
+    n_docs = distinct_strings.count()
+    dfc = bucket_document_frequencies(
+        distinct_strings, "value_norm", dim=cfg.dimensions, n=cfg.char_ngram
+    )
+    out = bucket_idf_weights(dfc, n_docs, dim=cfg.dimensions).tolist()
+    distinct_strings.unpersist()
+    return out
+
+
 def embed_unique_strings(
     melted: DataFrame,
     cfg: EmbeddingConfig = EmbeddingConfig(),
+    weights: list[float] | None = None,
 ) -> DataFrame:
     """melted (record_id, field, value_norm, hash) → EMBEDDINGS table
     (hash, field_type, value, frequency, embedding).
@@ -44,8 +68,7 @@ def embed_unique_strings(
         .dropDuplicates(["hash"])
     )
 
-    weights = None
-    if cfg.use_idf:
+    if weights is None and cfg.use_idf:
         from ..functions.embed import bucket_document_frequencies, bucket_idf_weights
 
         distinct_strings = distinct_strings.persist()

@@ -42,6 +42,10 @@ class PipelineResult:
     metrics: dict = field(default_factory=dict)
     predictions: DataFrame | None = None
     clusters: DataFrame | None = None
+    # frozen featurization params: the IDF bucket weights the embeddings were
+    # computed under (None when cfg.embedding.use_idf is off).  Incremental /
+    # streaming scoring re-embeds NEW strings under these same weights.
+    idf_weights: list | None = None
 
 
 def prepare(pages: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> PipelineResult:
@@ -57,13 +61,19 @@ def prepare(pages: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> PipelineR
     melted = P.melt_fields(records).persist(StorageLevel.MEMORY_AND_DISK)
     uniq = P.unique_strings(melted).persist(StorageLevel.MEMORY_AND_DISK)
     rfh = P.record_field_hashes(melted).persist(StorageLevel.MEMORY_AND_DISK)
-    emb = E.embed_unique_strings(melted, cfg.embedding).persist(StorageLevel.MEMORY_AND_DISK)
+    weights = (
+        E.corpus_idf_weights(melted, cfg.embedding) if cfg.embedding.use_idf else None
+    )
+    emb = E.embed_unique_strings(melted, cfg.embedding, weights=weights).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return PipelineResult(
         records=records,
         melted=melted,
         unique_strings=uniq,
         embeddings=emb,
         record_field_hashes=rfh,
+        idf_weights=weights,
     )
 
 

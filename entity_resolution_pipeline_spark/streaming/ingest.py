@@ -92,13 +92,31 @@ def _exists(path: str) -> bool:
     return os.path.exists(path)
 
 
-def _batch_processor(spark: SparkSession, out_dir: str, cfg: PipelineConfig):
+def _batch_processor(
+    spark: SparkSession,
+    out_dir: str,
+    cfg: PipelineConfig,
+    model=None,
+    idf_weights: list | None = None,
+):
     """foreachBatch body.  All writes are batch_id-keyed overwrites, so a
     replayed batch (crash between sink write and checkpoint commit)
-    reproduces byte-identical outputs instead of duplicating them."""
+    reproduces byte-identical outputs instead of duplicating them.
+
+    With `model`, each batch additionally maintains the accumulated
+    featurization tables (record_field_hashes / unique_strings / embeddings
+    — new rows only; embeddings computed under the FROZEN train-time
+    `idf_weights`, PipelineResult.idf_weights) and scores the batch's new
+    candidate pairs with the fused battery+LR stage — incremental ER minus
+    the global clustering fixpoint, which stays a batch job over the
+    accumulated predictions."""
     rec_root = os.path.join(out_dir, "records")
     mem_root = os.path.join(out_dir, "membership")
     cand_root = os.path.join(out_dir, "candidates")
+    rfh_root = os.path.join(out_dir, "record_field_hashes")
+    us_root = os.path.join(out_dir, "unique_strings")
+    emb_root = os.path.join(out_dir, "embeddings")
+    pred_root = os.path.join(out_dir, "predictions")
 
     def process(pages_batch: DataFrame, batch_id: int) -> None:
         records = extract_records(pages_batch).dropDuplicates(["record_id"])
@@ -149,16 +167,67 @@ def _batch_processor(spark: SparkSession, out_dir: str, cfg: PipelineConfig):
         pairs.write.mode("overwrite").parquet(
             os.path.join(cand_root, f"ingest_batch={batch_id}")
         )
+
+        metrics = {
+            "new_records": float(n_new),
+            "new_candidate_pairs": float(n_pairs),
+            "hot_blocks_capped": float(n_hot),
+        }
+        if model is not None:
+            from ..operators import embedding as E
+            from ..operators import preprocess as P
+            from ..operators.features import pair_predictions_hashed
+
+            melted = P.melt_fields(records)
+            P.record_field_hashes(melted).write.mode("overwrite").parquet(
+                os.path.join(rfh_root, f"ingest_batch={batch_id}")
+            )
+            melted.select("hash", F.col("value_norm").alias("value")).dropDuplicates(
+                ["hash"]
+            ).write.mode("overwrite").parquet(
+                os.path.join(us_root, f"ingest_batch={batch_id}")
+            )
+            E.embed_unique_strings(melted, cfg.embedding, weights=idf_weights).select(
+                "hash", "embedding"
+            ).dropDuplicates(["hash"]).write.mode("overwrite").parquet(
+                os.path.join(emb_root, f"ingest_batch={batch_id}")
+            )
+            # accumulated featurization tables (old pairs' sides may be old
+            # records); cross-batch duplicate hashes collapse here — at
+            # corpus scale these are Iceberg MERGE targets instead
+            rfh_all = spark.read.option("basePath", rfh_root).parquet(rfh_root).drop(
+                "ingest_batch"
+            )
+            us_all = (
+                spark.read.option("basePath", us_root)
+                .parquet(us_root)
+                .drop("ingest_batch")
+                .dropDuplicates(["hash"])
+            )
+            vec_all = (
+                spark.read.option("basePath", emb_root)
+                .parquet(emb_root)
+                .drop("ingest_batch")
+                .dropDuplicates(["hash"])
+            )
+            preds = pair_predictions_hashed(
+                pairs, rfh_all, us_all, vec_all, model, cfg.features
+            ).persist()
+            n_scored = preds.count()
+            n_match = preds.where("match").count()
+            preds.write.mode("overwrite").parquet(
+                os.path.join(pred_root, f"ingest_batch={batch_id}")
+            )
+            preds.unpersist()
+            metrics["pairs_scored"] = float(n_scored)
+            metrics["pairs_matched"] = float(n_match)
+
         MF.record_stage(
             spark,
             out_dir,
             f"stream_ingest_batch_{batch_id}",
             n_new,
-            metrics={
-                "new_records": float(n_new),
-                "new_candidate_pairs": float(n_pairs),
-                "hot_blocks_capped": float(n_hot),
-            },
+            metrics=metrics,
         )
         records.unpersist()
         pairs.unpersist()
@@ -174,6 +243,8 @@ def run_incremental(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     max_files_per_trigger: int | None = None,
     await_termination: bool = True,
+    model=None,
+    idf_weights: list | None = None,
 ):
     """Start (and by default drain) the incremental ingest stream.
 
@@ -181,10 +252,16 @@ def run_incremental(
     in `max_files_per_trigger`-sized micro-batches, then stops — the
     streaming-native form of the manifest-resume batch loop (rerun any time;
     only new input files produce work).  Returns the StreamingQuery.
+
+    Pass a trained `model` (+ its frozen `idf_weights`) to also score each
+    batch's new candidate pairs incrementally (accumulated `predictions`
+    table, see _batch_processor).
     """
     stream = read_pages_stream(spark, in_path, max_files_per_trigger)
     q = (
-        stream.writeStream.foreachBatch(_batch_processor(spark, out_dir, cfg))
+        stream.writeStream.foreachBatch(
+            _batch_processor(spark, out_dir, cfg, model=model, idf_weights=idf_weights)
+        )
         .option("checkpointLocation", os.path.join(out_dir, "_stream_checkpoint"))
         .trigger(availableNow=True)
         .start()

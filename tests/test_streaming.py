@@ -116,6 +116,54 @@ def test_recrawled_urls_are_dropped(spark, tmp_path):
     assert recs.select("record_id").distinct().count() == 80
 
 
+def test_incremental_scoring_matches_batch(spark, tmp_path):
+    """Streaming incremental scoring (frozen IDF weights + fused battery)
+    over two batches must reproduce the batch predict path on the union —
+    same candidate pairs, bit-equal probabilities."""
+    import dataclasses
+
+    from entity_resolution_pipeline_spark.operators import blocking as B
+    from entity_resolution_pipeline_spark.plans import pipeline as PL
+    from entity_resolution_pipeline_spark.schemas import LABELED_PAIRS
+
+    tmp = str(tmp_path)
+    out = os.path.join(tmp, "out")
+    cfg = _cfg_no_cap()
+
+    # train once on the full corpus (the reference's offline step); freeze
+    # the model + IDF weights
+    n = 200
+    pages_all = spark.createDataFrame(
+        synth.pages_pdf(n)[["url", "warc_ts", "html", "text", "lang"]], PAGES
+    )
+    gt = spark.createDataFrame(synth.ground_truth_pdf(n), LABELED_PAIRS)
+    prep = PL.run_labeled(pages_all, gt, cfg)
+    model, weights = prep.model, prep.idf_weights
+
+    # batch predict path under the SAME frozen weights
+    membership = B.block_membership(prep.records, cfg.blocking)
+    candidates = B.candidate_pairs(membership, cfg.blocking)
+    batch_preds = {
+        (r["left_id"], r["right_id"]): (round(r["probability"], 9), r["match"])
+        for r in PL.score_pairs(candidates, prep, model, cfg).collect()
+    }
+
+    # streaming: two micro-batches
+    in_path = _write_pages(spark, tmp, "b0", 0, 120)
+    _write_pages(spark, tmp, "b1", 120, n)
+    run_incremental(
+        spark, in_path, out, cfg, max_files_per_trigger=1,
+        model=model, idf_weights=weights,
+    )
+    stream_preds = {
+        (r["left_id"], r["right_id"]): (round(r["probability"], 9), r["match"])
+        for r in read_accumulated(spark, out, "predictions").collect()
+    }
+    assert set(stream_preds) == set(batch_preds)
+    assert stream_preds == batch_preds
+    assert any(v[1] for v in stream_preds.values())  # some matches found
+
+
 def test_stream_extract_matches_batch(spark, tmp_path):
     """readStream → extraction == batch extraction on the same files (the
     byte-identical invariant lifts to streaming)."""

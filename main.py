@@ -92,26 +92,38 @@ def run(args: argparse.Namespace, stop_spark: bool = True) -> None:
             return False
         return stage in wanted
 
+    produced: dict = {}
+
+    def write(df, stage, **kw):
+        produced[stage] = M.write_stage_table(df, out, stage, **kw)
+        return produced[stage]
+
     def table(stage: str):
+        # same-run outputs are reused as returned by write_stage_table —
+        # for bucketed stages that's the catalog-backed DataFrame, so
+        # downstream joins on the bucket key skip their Exchange
+        if stage in produced:
+            return produced[stage]
         return M.read_stage_table(spark, out, stage)
 
     if should_run("extract"):
         pages = I.read_pages(spark, args.pages)
-        M.write_stage_table(X.extract_records(pages), out, "extract")
+        write(X.extract_records(pages), "extract")
 
     if should_run("preprocess"):
         records = table("extract")
         melted = P.melt_fields(records).persist()
-        M.write_stage_table(melted, out, "preprocess")
-        M.write_stage_table(P.unique_strings(melted), out, "unique_strings")
-        M.write_stage_table(P.record_field_hashes(melted), out, "record_field_hashes")
-        M.write_stage_table(
-            P.field_hash_mapping(melted), out, "field_hash_mapping"
-        )
+        write(melted, "preprocess")
+        write(P.unique_strings(melted), "unique_strings")
+        # bucketed on the predict-join key: pairs ⋈ rfh(left/right) then
+        # reads the co-located table in the same run
+        write(P.record_field_hashes(melted), "record_field_hashes",
+              bucket_by=("record_id",), num_buckets=16)
+        write(P.field_hash_mapping(melted), "field_hash_mapping")
 
     if should_run("embed"):
         melted = table("preprocess")
-        M.write_stage_table(E.embed_unique_strings(melted, cfg.embedding), out, "embed")
+        write(E.embed_unique_strings(melted, cfg.embedding), "embed")
 
     if should_run("block"):
         records = table("extract")
@@ -119,7 +131,8 @@ def run(args: argparse.Namespace, stop_spark: bool = True) -> None:
         _, hot = B.prune_hot_blocks(membership, cfg.blocking)
         n_hot = hot.count()
         cands = B.candidate_pairs(membership, cfg.blocking)
-        M.write_stage_table(cands, out, "block", metrics={"hot_blocks_dropped": float(n_hot)})
+        write(cands, "block", metrics={"hot_blocks_dropped": float(n_hot)},
+              bucket_by=("left_id",), num_buckets=16)
 
     if should_run("features"):
         cands = table("block")
@@ -127,7 +140,7 @@ def run(args: argparse.Namespace, stop_spark: bool = True) -> None:
         uniq = table("unique_strings")
         vectors = table("embed").select("hash", "embedding").dropDuplicates(["hash"])
         feats = FE.pair_features_hashed(cands, rfh, uniq, vectors, cfg.features)
-        M.write_stage_table(feats, out, "features")
+        write(feats, "features")
 
     if should_run("train"):
         if not args.labeled_pairs:
@@ -166,13 +179,13 @@ def run(args: argparse.Namespace, stop_spark: bool = True) -> None:
                 model,
                 cfg.features,
             )
-        M.write_stage_table(preds, out, "predict")
+        write(preds, "predict")
 
     if should_run("cluster"):
         preds = table("predict")
         records = table("extract")
         clusters = G.cluster_predictions(preds, records.select("record_id"), cfg.clustering)
-        M.write_stage_table(clusters, out, "cluster")
+        write(clusters, "cluster")
 
     if should_run("report"):
         preds = table("predict")

@@ -385,6 +385,39 @@ _MMAP_CACHE: dict[str, "_ShardedMatrix"] = {}
 # years / string sims computed for a hash (pair) once)
 _FUSED_CACHE: dict[str, dict[str, dict]] = {}
 
+# keep only the newest few invocations' caches/mmaps alive on a long-lived
+# worker (each can hold tens of MB of memoized strings at corpus scale)
+_CACHE_KEEP = 3
+
+
+def _evict_stale_caches(current_key: str) -> None:
+    for cache in (_MMAP_CACHE, _FUSED_CACHE):
+        while len(cache) > _CACHE_KEEP:
+            oldest = next(iter(k for k in cache if k != current_key), None)
+            if oldest is None:
+                break
+            cache.pop(oldest, None)
+
+
+# staging dirs created by THIS driver process; removed at exit so repeated
+# bench/pipeline runs don't accumulate matrices in tmpfs
+_STAGE_DIRS: list[str] = []
+
+
+def _cleanup_stage_dirs() -> None:
+    import shutil
+
+    for d in _STAGE_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _register_stage_dir(path: str) -> None:
+    if not _STAGE_DIRS:
+        import atexit
+
+        atexit.register(_cleanup_stage_dirs)
+    _STAGE_DIRS.append(path)
+
 
 def _fused_battery_udf(
     bc_vec,
@@ -427,6 +460,7 @@ def _fused_battery_udf(
         if mat is None:
             mat = _ShardedMatrix(shard_paths, dim)
             _MMAP_CACHE[mat_key] = mat
+        _evict_stale_caches(mat_key)
         # keyed by the (per-invocation-unique) staging dir: worker-side
         # Broadcast handles don't expose .id
         caches = _FUSED_CACHE.setdefault(
@@ -778,6 +812,7 @@ def pair_features_hashed(
         stage_root = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
         mat_dir = os.path.join(stage_root, f"erx-vecmat-{uuid.uuid4().hex}")
         os.makedirs(mat_dir, exist_ok=True)
+        _register_stage_dir(mat_dir)
 
         def _write_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import uuid as _uuid

@@ -704,6 +704,25 @@ def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the events table's JSON `props`
+    column (get_json_object pushdown-friendly path) and aggregate the
+    extracted field per event type."""
+    events = _read(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram counts, top-100 (n-gram construction via zip_with over
     adjacent token slices — no UDF)."""
@@ -773,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "top_unshipped_orders": q_top_unshipped_orders,
         "bigram_counts": q_bigram_counts,
+        "json_props_stats": q_json_props_stats,
     }
 
 
@@ -1054,6 +1074,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY revenue DESC, l.l_orderkey ASC
             LIMIT 10
+        """,
+        "json_props_stats": """
+            SELECT event_type,
+                   count(*) AS n,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k,
+                   min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+                   max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
         """,
         "bigram_counts": """
             WITH toks AS (

@@ -715,7 +715,7 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum("k").alias("sum_k"),
+            F.sum("k").cast("double").alias("sum_k"),
             F.round(F.avg("k"), 6).alias("avg_k"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
@@ -1053,8 +1053,10 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             sess AS (
               SELECT user_id, ts,
-                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                         ROWS UNBOUNDED PRECEDING) AS session_idx
+                     CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS session_idx
               FROM flagged)
             SELECT user_id, session_idx,
                    count(*) AS n_events,
@@ -1078,7 +1080,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props_stats": """
             SELECT event_type,
                    count(*) AS n,
-                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE) AS sum_k,
                    round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k,
                    min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
                    max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k

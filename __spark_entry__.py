@@ -704,6 +704,14 @@ def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus preparation: quality gate (token bounds + alpha
+    ratio) + exact-dedup canonicalization in one declarative plan."""
+    from entity_resolution_pipeline_spark.operators.dedup import clean_corpus
+
+    return clean_corpus(_read(spark, sf_dir, "documents"))
+
+
 def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: parse the events table's JSON `props`
     column (get_json_object pushdown-friendly path) and aggregate the
@@ -793,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_unshipped_orders": q_top_unshipped_orders,
         "bigram_counts": q_bigram_counts,
         "json_props_stats": q_json_props_stats,
+        "clean_corpus": q_clean_corpus,
     }
 
 
@@ -1076,6 +1085,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY revenue DESC, l.l_orderkey ASC
             LIMIT 10
+        """,
+        "clean_corpus": rf"""
+            WITH scored AS (
+              SELECT doc_id, {_FINGERPRINT_SQL} AS fp,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                     round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           / greatest(length(text), 1), 6) AS alpha_ratio,
+                     text, trim(text) AS t
+              FROM documents),
+            passed AS (
+              SELECT doc_id, fp, n_tokens, alpha_ratio,
+                     round(len(list_filter(regexp_split_to_array(t, '\s+'),
+                                           x -> list_contains({_STOPWORDS_SQL}, lower(x))))
+                           / greatest(n_tokens, 1), 6) AS stopword_ratio
+              FROM scored
+              WHERE n_tokens BETWEEN 10 AND 1000 AND alpha_ratio >= 0.5),
+            keep AS (SELECT min(doc_id) AS doc_id FROM passed GROUP BY fp)
+            SELECT p.doc_id, p.n_tokens, p.alpha_ratio, p.stopword_ratio
+            FROM passed p JOIN keep USING (doc_id)
         """,
         "json_props_stats": """
             SELECT event_type,

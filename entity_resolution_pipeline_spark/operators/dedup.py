@@ -59,6 +59,36 @@ def distinct_documents(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     return docs.join(keep, id_col, "left_semi")
 
 
+def clean_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 1000,
+    min_alpha_ratio: float = 0.5,
+) -> DataFrame:
+    """The composed training-data preparation op: Gopher/C4-style quality
+    gate (token-count bounds + alphabetic ratio) AND exact-dedup
+    canonicalization (keep min id per fingerprint) in one declarative plan —
+    pure column exprs + one agg, no UDF, fully oracle-checkable."""
+    from ..functions.text_analysis import quality_metrics_cols
+
+    scored = docs.select(
+        F.col(id_col),
+        exact_fingerprint_col(F.col(text_col)).alias("__fp"),
+        *quality_metrics_cols(F.col(text_col)),
+    )
+    passed = scored.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+    )
+    keep = passed.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return passed.join(keep, id_col, "left_semi").select(
+        id_col, "n_tokens", "alpha_ratio", "stopword_ratio"
+    )
+
+
 # ------------------------------------------------------- exact n-gram Jaccard
 
 def _token_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:

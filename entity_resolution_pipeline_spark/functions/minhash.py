@@ -135,11 +135,14 @@ def make_minhash_udf(num_hashes: int = 64, k: int = 3):
 
 
 def make_shingle_udf(k: int = 3):
-    """Arrow pandas UDF: string column → sorted array<long> of distinct crc32
-    shingle values (the exact sets `jaccard` compares).  Emitting the sets as
-    a column lets the LSH verify stage intersect precomputed arrays instead
-    of re-shingling both texts once per candidate pair — each document is
-    shingled once, not once per pair it participates in."""
+    """Arrow pandas UDF: string column → sorted array<long> of distinct
+    polynomial-rolling-hash shingle values over k-BYTE windows of the
+    lowercased space-padded UTF-8 text (shingle_set — the exact sets
+    `jaccard` compares; windows are bytes, not chars, for non-ASCII text).
+    Emitting the sets as a column lets the LSH verify stage intersect
+    precomputed arrays instead of re-shingling both texts once per candidate
+    pair — each document is shingled once, not once per pair it participates
+    in."""
 
     @pandas_udf(ArrayType(LongType()))
     def shingle_udf(texts: pd.Series) -> pd.Series:

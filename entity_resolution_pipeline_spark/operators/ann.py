@@ -150,7 +150,15 @@ def train_ivf_centroids(
     levels, unlike rand()-sampling.  Driver-side numpy Lloyd iterations:
     the sample is O(thousands) regardless of corpus size; only the (tiny)
     centroid matrix ships back out."""
-    pdf = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).toPandas()
+    # hash-ordered sample: deterministic like "first N ids" but unbiased when
+    # ids correlate with content (e.g. a corpus sorted by topic) — xxhash64
+    # scrambles the order while staying stable across runs and parallelism
+    pdf = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample)
+        .toPandas()
+    )
     if not len(pdf):
         return np.zeros((0, 0))
     X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
@@ -202,6 +210,48 @@ def make_ivf_cells_udf(centroids: np.ndarray, n_probe: int):
     return cells_udf
 
 
+def _grid_salt_bipartite(
+    queries: DataFrame,
+    members: DataFrame,
+    key_col: str,
+    id_col: str,
+    cap: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Bound hot join keys in a BIPARTITE join (queries × members) by grid
+    decomposition: a key with qn queries / mn members gets a Gq × Gm grid
+    (G = ceil(n / cap)); a query lands in row a = hash(id) mod Gq and is
+    exploded across all Gm columns; a member lands in column b and is
+    exploded across all Gq rows.  A (query, member) pair co-located on the
+    key meets in EXACTLY one grid bucket, (a_q, b_m), so join output is
+    unchanged while no bucket holds more than ~cap rows per side.  (The
+    self-join analog is blocking.salt_hot_blocks' triangle decomposition;
+    the grid form is needed here because the two sides have different
+    memberships — a member lives in one home cell, a query probes several.)
+    Deterministic: group assignment is xxhash64(id)."""
+    qs = queries.groupBy(key_col).agg(F.count("*").alias("qn"))
+    ms = members.groupBy(key_col).agg(F.count("*").alias("mn"))
+    gq = F.ceil(F.col("qn") / F.lit(cap)).cast("int").alias("Gq")
+    gm = F.ceil(F.col("mn") / F.lit(cap)).cast("int").alias("Gm")
+    # inner join: keys absent from either side produce no pairs anyway
+    sz = qs.join(ms, key_col).select(key_col, gq, gm)
+    q2 = (
+        queries.join(sz, key_col)
+        .withColumn("__a", F.pmod(F.xxhash64(id_col), F.col("Gq")).cast("int"))
+        .withColumn("__b", F.explode(F.sequence(F.lit(0), F.col("Gm") - 1)))
+    )
+    m2 = (
+        members.join(sz, key_col)
+        .withColumn("__b", F.pmod(F.xxhash64(id_col), F.col("Gm")).cast("int"))
+        .withColumn("__a", F.explode(F.sequence(F.lit(0), F.col("Gq") - 1)))
+    )
+    newkey = F.concat_ws("#", key_col, "__a", "__b").alias(key_col)
+    keep = [c for c in queries.columns if c != key_col]
+    return (
+        q2.select(*keep, newkey),
+        m2.select(*[c for c in members.columns if c != key_col], newkey),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     k: int = 5,
@@ -211,21 +261,33 @@ def ivf_topk(
     n_probe: int = 4,
     sample: int = 4096,
     seed: int = 7,
+    max_cell_size: int | None = 5000,
 ) -> DataFrame:
     """Approximate all-pairs top-k via an IVF coarse quantizer: each vector
     is indexed in its home cell; as a query it probes its n_probe nearest
     cells; exact cosine rerank within probed cells (JVM exprs, like
     lsh_bucket_topk).  The cell join shuffles on cell id only — cost
     Σ_cell |probing queries| × |members|, sub-quadratic when the quantizer
-    spreads the corpus."""
+    spreads the corpus.  Dense cells (exactly the risk on the clustered
+    corpora IVF is pitched for) are grid-salted to ≤ ~max_cell_size rows per
+    join bucket with output provably unchanged (_grid_salt_bipartite)."""
+    from pyspark import StorageLevel
+
     C = train_ivf_centroids(corpus, n_centroids, id_col, vec_col, sample, seed=seed)
     cells = make_ivf_cells_udf(C, n_probe)
     base = corpus.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     ).withColumn("c", cells("vec"))
+    # members + queries (and, with salting, the cell-size aggs) all read
+    # base: materialize once so the assignment UDF runs once per vector
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     members = base.select("id", "vec", F.col("c.cell").alias("cell"))
     queries = base.select("id", "vec", F.explode(F.col("c.probes")).alias("cell"))
+    if max_cell_size:
+        queries, members = _grid_salt_bipartite(
+            queries, members, key_col="cell", id_col="id", cap=max_cell_size
+        )
     l = queries.alias("l")
     r = members.alias("r")
     dot = F.aggregate(
@@ -262,12 +324,22 @@ def lsh_bucket_topk(
     dim: int | None = None,
     n_planes: int = 12,
     n_tables: int = 4,
+    max_bucket_size: int | None = 5000,
 ) -> DataFrame:
     """Approximate all-pairs top-k: SRP-bucket the corpus, exact cosine
     rerank within each bucket, global per-id top-k across tables.  The
     self-join shuffles on bucket key only — sub-quadratic for spread-out
-    corpora; hot buckets are the residual risk (cap or salt as in blocking).
+    corpora.  Hot buckets (a dense direction cluster collapses many vectors
+    into one sign pattern) are rewritten by blocking.salt_hot_blocks'
+    triangle decomposition: every pair still meets in exactly one salted
+    bucket (both orderings, so per-query top-k is unchanged) while no join
+    bucket exceeds ~2·max_bucket_size members.
     """
+    from pyspark import StorageLevel
+
+    from ..config import BlockingConfig
+    from .blocking import salt_hot_blocks, salted_pair_predicate
+
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     srp = make_srp_bucket_udf(dim, n_planes=n_planes, n_tables=n_tables)
@@ -275,6 +347,13 @@ def lsh_bucket_topk(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     ).withColumn("bucket", F.explode(srp("vec")))
+    if max_bucket_size:
+        # salting reads v twice (bucket-size agg + join); materialize so the
+        # SRP UDF runs once per vector
+        v = v.persist(StorageLevel.MEMORY_AND_DISK)
+        v = salt_hot_blocks(
+            v, BlockingConfig(max_block_size=max_bucket_size), key_col="bucket"
+        )
     l = v.alias("l")
     r = v.alias("r")
     dot = F.aggregate(
@@ -285,10 +364,11 @@ def lsh_bucket_topk(
     norm = lambda side: F.sqrt(  # noqa: E731
         F.aggregate(F.col(f"{side}.vec"), F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    joined = l.join(r, "bucket").where(F.col("l.id") != F.col("r.id"))
+    if max_bucket_size:
+        joined = joined.where(salted_pair_predicate())
     pairs = (
-        l.join(r, "bucket")
-        .where(F.col("l.id") != F.col("r.id"))
-        .select(
+        joined.select(
             F.col("l.id").alias("query_id"),
             F.col("r.id").alias("neighbor_id"),
             F.round(dot / (norm("l") * norm("r")), 6).alias("cosine"),

@@ -70,39 +70,53 @@ def block_membership(
 
 
 def prune_hot_blocks(
-    membership: DataFrame, cfg: BlockingConfig = BlockingConfig()
+    membership: DataFrame,
+    cfg: BlockingConfig = BlockingConfig(),
+    key_col: str = "block_key",
 ) -> tuple[DataFrame, DataFrame]:
     """Split membership into (kept, dropped_block_stats).  dropped stats =
-    (block_key, size) for keys over the cap — surfaced as stage metrics."""
-    sizes = membership.groupBy("block_key").agg(F.count("*").alias("size"))
+    (key_col, size) for keys over the cap — surfaced as stage metrics."""
+    sizes = membership.groupBy(key_col).agg(F.count("*").alias("size"))
     hot = sizes.where(F.col("size") > cfg.max_block_size)
-    kept = membership.join(F.broadcast(hot.select("block_key")), "block_key", "left_anti")
+    kept = membership.join(F.broadcast(hot.select(key_col)), key_col, "left_anti")
     return kept, hot
 
 
 def salt_hot_blocks(
-    membership: DataFrame, cfg: BlockingConfig = BlockingConfig()
+    membership: DataFrame,
+    cfg: BlockingConfig = BlockingConfig(),
+    key_col: str = "block_key",
+    id_col: str = "id",
 ) -> DataFrame:
     """Triangle-decomposition salting: rewrite each over-cap block into
     bounded join buckets WITHOUT losing any pair.
 
     A hot block of size s gets G = ceil(s / cap) salt groups; a member in
     group g is exploded into one bucket key per unordered group pair
-    involving g — (i, g) for i ≤ g and (g, j) for j > g.  A pair whose
-    members fall in groups (ga, gb) then meets in exactly ONE bucket,
-    (min, max), so the downstream self-join enumerates every pair exactly
-    once while no bucket holds more than ~2·cap members.  Salt assignment
-    is deterministic (xxhash64 of the id) — stable across runs and
-    parallelism levels.
+    involving g — (i, g) for i ≤ g and (g, j) for j > g.  A CROSS-group pair
+    (ga ≠ gb) then meets in exactly ONE bucket, (min, max).  A SAME-group
+    pair (g, g) co-resides in every bucket of g's set, so the self-join must
+    additionally filter with `salted_pair_predicate` — keep the pair only in
+    the diagonal bucket (a == b) unless the two groups differ — which makes
+    enumeration EXACTLY once overall.  (Within its one bucket the self-join
+    emits both orderings of the pair, so the salting is also sound for
+    asymmetric consumers like per-query top-k.)  No bucket holds more than
+    ~2·cap members (expected; hash-group unevenness adds slack).  Salt
+    assignment is deterministic (xxhash64 of the id) — stable across runs
+    and parallelism levels.
 
-    Returns membership with block_key rewritten to the salted bucket key.
+    Returns membership with `key_col` rewritten to the salted bucket key,
+    all other columns passed through unchanged, plus the salt bookkeeping
+    columns `__salt_g`, `__salt_a`, `__salt_b` consumed by
+    `salted_pair_predicate` (drop them after the join).
     """
-    sizes = membership.groupBy("block_key").agg(F.count("*").alias("size"))
+    other = [c for c in membership.columns if c != key_col]
+    sizes = membership.groupBy(key_col).agg(F.count("*").alias("size"))
     groups = F.ceil(F.col("size") / F.lit(cfg.max_block_size)).cast("int").alias("G")
     # no broadcast hint: the sizes side is one row per distinct block key —
     # small here, but unbounded at corpus scale; AQE picks the strategy
-    sized = membership.join(sizes.select("block_key", groups), "block_key")
-    g = F.pmod(F.xxhash64("id"), F.col("G")).cast("int")
+    sized = membership.join(sizes.select(key_col, groups), key_col)
+    g = F.pmod(F.xxhash64(id_col), F.col("G")).cast("int")
     # bucket keys for member in group g: (i, g) for i in [0, g] and (g, j)
     # for j in (g, G)
     buckets = F.concat(
@@ -116,12 +130,26 @@ def salt_hot_blocks(
         ).otherwise(F.array()),
     )
     return sized.select(
-        "id",
+        *other,
+        g.alias("__salt_g"),
         F.explode(buckets).alias("bk"),
-        "block_key",
+        key_col,
     ).select(
-        "id",
-        F.concat_ws("#", "block_key", F.col("bk.a"), F.col("bk.b")).alias("block_key"),
+        *other,
+        "__salt_g",
+        F.col("bk.a").alias("__salt_a"),
+        F.col("bk.b").alias("__salt_b"),
+        F.concat_ws("#", key_col, F.col("bk.a"), F.col("bk.b")).alias(key_col),
+    )
+
+
+def salted_pair_predicate(left_alias: str = "l", right_alias: str = "r"):
+    """Join filter completing salt_hot_blocks' exactly-once guarantee: a
+    same-group pair co-resides in every bucket of its group's set, so it is
+    kept only in the diagonal bucket (a == b); cross-group pairs (which meet
+    exactly once anyway) always pass."""
+    return (F.col(f"{left_alias}.__salt_a") == F.col(f"{left_alias}.__salt_b")) | (
+        F.col(f"{left_alias}.__salt_g") != F.col(f"{right_alias}.__salt_g")
     )
 
 
@@ -141,15 +169,17 @@ def candidate_pairs(
     # membership is consumed four times (size agg, anti-join, both join
     # sides); materialize once so the signature UDFs run once per record
     membership = membership.persist(StorageLevel.MEMORY_AND_DISK)
-    if cfg.hot_block_strategy == "salt":
+    salted = cfg.hot_block_strategy == "salt"
+    if salted:
         kept = salt_hot_blocks(membership, cfg)
     else:
         kept, _ = prune_hot_blocks(membership, cfg)
     l = kept.alias("l")
     r = kept.alias("r")
-    pairs = (
-        l.join(r, "block_key")
-        .where(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("left_id"), F.col("r.id").alias("right_id"))
+    pairs = l.join(r, "block_key").where(F.col("l.id") < F.col("r.id"))
+    if salted:
+        pairs = pairs.where(salted_pair_predicate())
+    pairs = pairs.select(
+        F.col("l.id").alias("left_id"), F.col("r.id").alias("right_id")
     )
     return pairs.dropDuplicates(["left_id", "right_id"])

@@ -281,36 +281,105 @@ def simhash_pairs(
 
 # ------------------------------------------------------- embedding near-dup
 
+def srp_neardup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    max_bucket_size: int | None = 5000,
+) -> DataFrame:
+    """Scale path for cosine-threshold near-dup pairs: SRP-LSH bucket the
+    corpus (ann.make_srp_bucket_udf), exact cosine within buckets only.
+    Sub-quadratic shuffle on bucket keys; at the high thresholds near-dup
+    runs at (τ ≥ 0.9 ⇒ angle ≤ 26°), sign-pattern collision probability per
+    table is (1 − θ/π)^n_planes, so a handful of tables reaches ~1 recall.
+    Hot buckets are triangle-salted (blocking.salt_hot_blocks) so no join
+    bucket exceeds ~2·max_bucket_size."""
+    from pyspark import StorageLevel
+
+    from ..config import BlockingConfig
+    from ..operators.ann import make_srp_bucket_udf
+    from ..operators.blocking import salt_hot_blocks, salted_pair_predicate
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    srp = make_srp_bucket_udf(dim, n_planes=n_planes, n_tables=n_tables)
+    v = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    ).withColumn("bucket", F.explode(srp("vec")))
+    if max_bucket_size:
+        v = v.persist(StorageLevel.MEMORY_AND_DISK)
+        v = salt_hot_blocks(
+            v, BlockingConfig(max_block_size=max_bucket_size), key_col="bucket"
+        )
+    l = v.alias("l")
+    r = v.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col("l.vec"), F.col("r.vec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(f"{side}.vec"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    joined = l.join(r, "bucket").where(F.col("l.id") < F.col("r.id"))
+    if max_bucket_size:
+        joined = joined.where(salted_pair_predicate())
+    return (
+        joined
+        .select(
+            F.col("l.id").alias("left_id"),
+            F.col("r.id").alias("right_id"),
+            F.round(dot / (norm("l") * norm("r")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .dropDuplicates(["left_id", "right_id"])
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    max_broadcast_rows: int = 2_000_000,
+    broadcast_budget_bytes: int = 2 << 30,
+    dim: int | None = None,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold — broadcast nested-loop formulation.
 
-    All-pairs cosine is inherently O(n²); the right physical plan is to
-    broadcast one normalized side as a dense float64 matrix and stream the
-    other through one Arrow pass per partition, computing a single numpy
-    matmul per batch (vectorized, no per-row work, no crossJoin shuffle of
-    n² rows).  Guarded by `max_broadcast_rows`: beyond that, compose with
-    the SRP-LSH bucketing in ann.lsh_bucket_topk so the exact rerank runs
-    per bucket, not globally.
+    All-pairs cosine is inherently O(n²); the right physical plan for a
+    broadcastable corpus is to collect one normalized side as a dense
+    float64 matrix and stream the other through one Arrow pass per
+    partition, computing a single numpy matmul per batch (vectorized, no
+    per-row work, no crossJoin shuffle of n² rows).  The guard is a MEMORY
+    budget, not a row count: the matrix costs rows × dim × 8 bytes on the
+    driver and per executor; when the estimate exceeds
+    `broadcast_budget_bytes` (default 2 GiB) the operator automatically
+    falls back to the SRP-bucketed formulation (srp_neardup_pairs) instead
+    of raising — same output contract, sub-quadratic shuffle, no driver
+    collect.
     """
     import numpy as np
 
     from typing import Iterator
 
+    from pyspark import StorageLevel
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     v = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if dim is None:
+        first = v.select("vec").first()
+        dim = len(first[0]) if first else 0
+    # one count job against the (usually parquet-backed, column-pruned)
+    # input decides the path; the collect below reuses the persisted input
+    v = v.persist(StorageLevel.MEMORY_AND_DISK)
     n = v.count()
-    if n > max_broadcast_rows:
-        raise ValueError(
-            f"embedding_neardup_pairs: {n} rows exceeds max_broadcast_rows="
-            f"{max_broadcast_rows}; use ann.lsh_bucket_topk (SRP-LSH buckets + "
-            "per-bucket exact rerank) at this scale"
+    if n * max(dim, 1) * 8 > broadcast_budget_bytes:
+        v.unpersist()
+        return srp_neardup_pairs(
+            embeddings, id_col=id_col, vec_col=vec_col, threshold=threshold
         )
     pdf = v.toPandas()
     ids = pdf["id"].to_numpy(dtype=np.int64)

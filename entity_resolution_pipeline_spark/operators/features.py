@@ -351,7 +351,16 @@ class _ShardedMatrix:
     def _shard(self, s: int) -> tuple[np.ndarray, np.ndarray]:
         m = self._mats[s]
         if m is None:
-            m = np.load(self.paths[s], mmap_mode="r")
+            try:
+                m = np.load(self.paths[s], mmap_mode="r")
+            except FileNotFoundError as e:
+                raise FileNotFoundError(
+                    f"vector shard {self.paths[s]!r} is not visible on this "
+                    "executor — the staging root is not shared across hosts. "
+                    "Set FeatureConfig.stage_root (or ERX_STAGE_ROOT) to a "
+                    "filesystem mounted on the driver and ALL executors, or "
+                    "set broadcast_vectors=False for the shuffle-join path."
+                ) from e
             self._mats[s] = m
             self._norms[s] = np.load(
                 self.paths[s][: -len(".npy")] + ".norms.npy", mmap_mode="r"
@@ -809,7 +818,20 @@ def pair_features_hashed(
 
         _t0 = _time.time()
         sc = pairs.sparkSession.sparkContext
-        stage_root = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+        # staging-root resolution: config > ERX_STAGE_ROOT env > /dev/shm >
+        # tempdir.  Single-node defaults are host-local; multi-host clusters
+        # MUST set a shared path (see FeatureConfig.stage_root).
+        stage_root = cfg.stage_root or os.environ.get("ERX_STAGE_ROOT")
+        if stage_root is None:
+            stage_root = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+        if not os.path.isdir(stage_root):
+            raise FileNotFoundError(
+                f"vector staging root {stage_root!r} is not a directory on the "
+                "driver. On a multi-host cluster set FeatureConfig.stage_root "
+                "(or ERX_STAGE_ROOT) to a filesystem shared by the driver and "
+                "ALL executors, or set broadcast_vectors=False to use the "
+                "shuffle-join path that needs no shared storage."
+            )
         mat_dir = os.path.join(stage_root, f"erx-vecmat-{uuid.uuid4().hex}")
         os.makedirs(mat_dir, exist_ok=True)
         _register_stage_dir(mat_dir)

@@ -103,7 +103,9 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (trigram profiles) → corpus distribution.
-    Rows-only: the scoring UDF is not SQL-expressible."""
+    Oracle-checked (r2): integer rank weights make the profile scoring
+    order-independent, so the UDF's argmax is reproducible as a DuckDB
+    trigram-join + sum + row_number — value-level parity, not rows-only."""
     from entity_resolution_pipeline_spark.functions.text_analysis import make_langid_udf
 
     docs = _read(spark, sf_dir, "documents")
@@ -125,17 +127,29 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates + exact-Jaccard verify (≥ 0.5, the
     threshold the 16-band × 4-row S-curve is centered on: (1/16)^(1/4) = 0.5).
-    Rows-only: LSH banding is not SQL-expressible."""
+    Oracle-checked (r2): the verify stage makes the CONTENT of the output
+    exact Jaccard, and the shingle hash is a polynomial the oracle reproduces
+    as plain integer SQL — so the oracle computes ALL exact-Jaccard-≥-τ pairs
+    and any LSH recall miss would surface as a row mismatch.  (On this corpus
+    every qualifying pair has J ≥ 0.93, where the 16×4 banding miss
+    probability is ≈ 1e-10 per pair — and the seeded signatures make the run
+    fully deterministic.)"""
     from entity_resolution_pipeline_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_read(spark, sf_dir, "documents"), threshold=0.5)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded near-dup pairs (hamming ≤ 3). Rows-only."""
+    """SimHash banded near-dup pairs (hamming ≤ 3).  Oracle-checked (r2):
+    4×16-bit banding is COMPLETE for hamming ≤ 3 by pigeonhole, and the
+    md5-based gram hash lets DuckDB rebuild the exact 64-bit signatures —
+    the oracle recomputes signatures + all-pairs hamming and must match
+    bit-for-bit."""
     from entity_resolution_pipeline_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_read(spark, sf_dir, "documents"))
+    return simhash_pairs(_read(spark, sf_dir, "documents")).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,44 +373,92 @@ def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_birth_death_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5: ordered 15-pattern birth/death cascade over synthetic person
-    strings (rows-only: regex-cascade priority is not SQL-expressible)."""
-    from entity_resolution_pipeline_spark import synth
-    from entity_resolution_pipeline_spark.functions.birth_death import birth_death_udf
-    from entity_resolution_pipeline_spark.operators.extract import extract_records
+# Deterministic person-string construction shared VERBATIM between the Spark
+# query (F.expr) and the DuckDB oracle — doc_id-keyed templates covering all
+# 15 reference cascade patterns plus the disambiguation quirks ("d. 1910" →
+# (None, None), "(1900-)" → death=1900).
+_BD_BY_SQL = "CAST(1500 + doc_id % 400 AS STRING)"
+_BD_DY_SQL = "CAST(1530 + doc_id % 460 AS STRING)"
+_BD_PERSON_SQL = f"""
+CASE CAST(doc_id % 16 AS INT)
+ WHEN 0 THEN 'Smith, John, ' || {_BD_BY_SQL} || '-' || {_BD_DY_SQL}
+ WHEN 1 THEN 'Doe, Jane, approximately ' || {_BD_BY_SQL} || '-' || {_BD_DY_SQL}
+ WHEN 2 THEN 'Lee, Ann, ' || {_BD_BY_SQL} || '- approximately ' || {_BD_DY_SQL}
+ WHEN 3 THEN 'Mo, Li, approximately ' || {_BD_BY_SQL} || '-approximately ' || {_BD_DY_SQL}
+ WHEN 4 THEN 'Brown, Amy, -' || {_BD_DY_SQL}
+ WHEN 5 THEN 'Gray, Max, ' || {_BD_BY_SQL} || '-'
+ WHEN 6 THEN 'Quinn, Eve, b. ' || {_BD_BY_SQL}
+ WHEN 7 THEN 'Stone, Ada, born ' || {_BD_BY_SQL}
+ WHEN 8 THEN 'Hall, Kim, d. ' || {_BD_DY_SQL}
+ WHEN 9 THEN 'Frost, Ian, died ' || {_BD_DY_SQL}
+ WHEN 10 THEN 'Wood, Sam (fl. ' || {_BD_BY_SQL} || ')'
+ WHEN 11 THEN 'Reed, Joy, ca. ' || {_BD_BY_SQL}
+ WHEN 12 THEN 'Page, Ivy (' || {_BD_BY_SQL} || '-' || {_BD_DY_SQL} || ')'
+ WHEN 13 THEN 'Lake, Tom, fl. ' || {_BD_BY_SQL} || '-' || {_BD_DY_SQL}
+ WHEN 14 THEN 'King, Leo'
+ ELSE 'Nagy, Bela, circa ' || {_BD_BY_SQL} || '-' || {_BD_DY_SQL}
+END
+"""
 
-    pages = synth.pages_df(spark, 500)
-    records = extract_records(pages)
-    return records.select(
-        "record_id", birth_death_udf("person").alias("bd")
-    ).select("record_id", "bd.birth_year", "bd.death_year")
+
+def q_birth_death_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: ordered 15-pattern birth/death cascade.  Oracle-checked (r2):
+    person strings are built deterministically from doc_id by a SQL
+    expression both engines evaluate verbatim; the Spark side runs the real
+    Arrow-UDF cascade (functions/birth_death.py) while the oracle replays
+    the SAME priority cascade as generated regexp_matches/regexp_extract
+    CASE SQL — first-match-wins semantics and the reference quirks included
+    (reference src/birth_death_regexes.py:13-147)."""
+    from entity_resolution_pipeline_spark.functions.birth_death import birth_death_udf
+
+    docs = _read(spark, sf_dir, "documents")
+    persons = docs.select("doc_id", F.expr(_BD_PERSON_SQL).alias("person"))
+    return persons.select(
+        "doc_id", birth_death_udf("person").alias("bd")
+    ).select(
+        "doc_id",
+        F.col("bd.birth_year").cast("int").alias("birth_year"),
+        F.col("bd.death_year").cast("int").alias("death_year"),
+    )
 
 
 def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate all-pairs top-3 neighbors via sign-random-projection LSH
     buckets + per-bucket exact rerank (the scale path of ann.py).
-    Rows-only: bucket membership is algorithm-specific."""
+    Oracle-checked (r2) against exact brute-force top-3 in DuckDB: this
+    corpus's nearest neighbors are LOW-cosine (median top-3 cosine ≈ 0.33),
+    so the honest S-curve is shallow — 2 planes × 24 tables, which reaches
+    recall 1.0 here (measured; any regression shows as a row mismatch).
+    Bucketing mechanics (salting, rerank, ranking) are identical to the
+    high-threshold configs."""
     from entity_resolution_pipeline_spark.operators.ann import lsh_bucket_topk
 
     emb = _read(spark, sf_dir, "embeddings")
-    return lsh_bucket_topk(emb, k=3, dim=64, n_planes=8, n_tables=4)
+    return lsh_bucket_topk(emb, k=3, dim=64, n_planes=2, n_tables=24)
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate all-pairs top-3 neighbors via an IVF coarse quantizer
     (spherical k-means cells + n_probe probing, FAISS-IVF-Flat style).
-    Rows-only: cell assignment is algorithm-specific."""
+    Rows-only: the k-means index is not SQL-expressible; measured recall@3
+    vs the oracle-checked exact baseline is pinned by
+    tests/test_recall.py::test_ivf_recall_floor (≥ 0.80 at n_probe=8 on this
+    spread-out corpus) and reported in BENCH/BASELINE.md."""
     from entity_resolution_pipeline_spark.operators.ann import ivf_topk
 
     emb = _read(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, k=3, n_centroids=16, n_probe=4)
+    return ivf_topk(emb, k=3, n_centroids=16, n_probe=8)
 
 
 def q_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (winnowing, Schleimer et al.): near-dup
     candidates = documents sharing ≥ 25 fingerprints (k=16-grams keep the
-    fingerprints selective on this small-vocabulary corpus). Rows-only."""
+    fingerprints selective on this small-vocabulary corpus).  Oracle-checked
+    (r2): the k-gram hash is a polynomial DuckDB can recompute, and a
+    window's selected fingerprint VALUE is simply its min hash (the
+    rightmost tie-break picks a position, not a different value), so the
+    distinct-fingerprint sets — and the shared-count join — are reproducible
+    as window-min SQL."""
     from entity_resolution_pipeline_spark.config import python_stage_width
     from entity_resolution_pipeline_spark.functions.text_analysis import make_winnow_udf
 
@@ -414,42 +476,113 @@ def q_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_impute_hotdeck(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vector hot-deck imputation (reference batch_parallel_imputation.py) on
-    the synthetic fixture: records missing subjects get nearest-donor values
-    by composite-vector similarity.  Rows-only: KNN + vector averaging."""
-    from entity_resolution_pipeline_spark import synth
-    from entity_resolution_pipeline_spark.config import DEFAULT_CONFIG, ImputationConfig
-    from entity_resolution_pipeline_spark.operators import embedding as E
-    from entity_resolution_pipeline_spark.operators import extract as X
-    from entity_resolution_pipeline_spark.operators import preprocess as P
-    from entity_resolution_pipeline_spark.operators.impute import impute_missing_fields
+def _impute_candidates(spark: SparkSession, sf_dir: str, cfg):
+    """Shared fixture for the three imputation-method queries: embeddings
+    rows with vec_id % 10 == 0 are 'missing' targets, the rest are donors
+    carrying their label as the donor value.  knn_candidates runs the real
+    SRP-bucketed KNN join; 2 planes × 16 tables is the shallow S-curve this
+    LOW-similarity regime needs (nearest donors sit at cosine 0.3-0.5) and
+    measures recall 1.0 vs the exact-KNN DuckDB oracle."""
+    from entity_resolution_pipeline_spark.operators.impute import knn_candidates
 
-    pages = synth.pages_df(spark, 300)
-    melted = P.melt_fields(X.extract_records(pages))
-    rfh = P.record_field_hashes(melted)
-    uniq = P.unique_strings(melted)
-    vectors = (
-        E.embed_unique_strings(melted, DEFAULT_CONFIG.embedding)
-        .select("hash", "embedding")
-        .dropDuplicates(["hash"])
+    emb = _read(spark, sf_dir, "embeddings")
+    targets = emb.where("vec_id % 10 = 0").select(
+        F.col("vec_id").alias("record_id"), F.col("embedding").alias("query_vec")
     )
-    out = impute_missing_fields(rfh, vectors, uniq, ImputationConfig(method="nearest"))
-    return out.select("record_id", "field", "n_donors", "imputed_value")
+    donors = emb.where("vec_id % 10 != 0").select(
+        F.col("vec_id").alias("donor_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("embedding").alias("donor_vec"),
+        F.col("label").cast("string").alias("donor_value"),
+    )
+    return knn_candidates(targets, donors, cfg, n_planes=2, n_tables=16)
+
+
+def _impute_vec_stats(iv: DataFrame) -> DataFrame:
+    """(record_id, n_donors, vec_mean, vec_norm) — scalar summaries of the
+    imputed vector so the driver's column-hash comparison has flat floats."""
+    return iv.select(
+        "record_id",
+        F.col("n_donors").cast("long").alias("n_donors"),
+        F.round(
+            F.aggregate("imputed_vec", F.lit(0.0), lambda a, x: a + x)
+            / F.size("imputed_vec"),
+            6,
+        ).alias("vec_mean"),
+        F.round(
+            F.sqrt(F.aggregate("imputed_vec", F.lit(0.0), lambda a, x: a + x * x)), 6
+        ).alias("vec_norm"),
+    )
+
+
+def q_impute_hotdeck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector hot-deck imputation, method=nearest (reference
+    batch_parallel_imputation.py:494-501): each 'missing' record takes the
+    value of its most-similar donor (cosine ≥ 0.30).  Oracle-checked (r2)
+    against exact KNN in DuckDB — the SRP candidate join must recover the
+    true argmax donor for every target."""
+    from entity_resolution_pipeline_spark.config import ImputationConfig
+    from entity_resolution_pipeline_spark.operators.impute import impute_vectors
+
+    cfg = ImputationConfig(
+        method="nearest", vector_similarity_threshold=0.30, max_candidates=10
+    )
+    cands = _impute_candidates(spark, sf_dir, cfg)
+    return impute_vectors(cands, cfg).select(
+        "record_id", F.col("n_donors").cast("long").alias("n_donors"), "imputed_value"
+    )
+
+
+def q_impute_knn_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Imputation method=average (reference imputation.py:493-541): the
+    imputed vector is the element-wise mean of the top-10 donors' vectors.
+    Oracle-checked via scalar summaries (mean/norm of the imputed vector)."""
+    from entity_resolution_pipeline_spark.config import ImputationConfig
+    from entity_resolution_pipeline_spark.operators.impute import impute_vectors
+
+    cfg = ImputationConfig(
+        method="average", vector_similarity_threshold=0.30, max_candidates=10
+    )
+    cands = _impute_candidates(spark, sf_dir, cfg)
+    return _impute_vec_stats(impute_vectors(cands, cfg))
+
+
+def q_impute_knn_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Imputation method=weighted_average: donor vectors weighted by cosine
+    similarity.  Oracle-checked via scalar summaries."""
+    from entity_resolution_pipeline_spark.config import ImputationConfig
+    from entity_resolution_pipeline_spark.operators.impute import impute_vectors
+
+    cfg = ImputationConfig(
+        method="weighted_average", vector_similarity_threshold=0.30, max_candidates=10
+    )
+    cands = _impute_candidates(spark, sf_dir, cfg)
+    return _impute_vec_stats(impute_vectors(cands, cfg))
 
 
 def q_er_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end ER flagship on the synthetic fixture: blocking → scoring →
-    clustering → size-bucket stats (rows-only; pinned by e2e tests)."""
-    from entity_resolution_pipeline_spark import synth
-    from entity_resolution_pipeline_spark.operators.cluster import cluster_statistics
-    from entity_resolution_pipeline_spark.plans import pipeline as PL
-    from entity_resolution_pipeline_spark.schemas import LABELED_PAIRS
+    """Dedup-graph clustering end-to-end on driver data: exact-Jaccard
+    near-dup edges → match graph → large-star/small-star connected
+    components (+ singletons) → size-bucket stats (G1-G5).  Oracle-checked
+    (r2): DuckDB recomputes the same edges and resolves components with a
+    recursive CTE.  (The LR-scored ER flagship remains exercised by
+    entry(), bench's er_dedup_pipeline, and tests/test_e2e.py — this query
+    pins the graph machinery against an independent engine.)"""
+    from entity_resolution_pipeline_spark.operators.cluster import (
+        cluster_predictions,
+        cluster_statistics,
+    )
+    from entity_resolution_pipeline_spark.operators.dedup import ngram_jaccard_pairs
 
-    pages = synth.pages_df(spark, 600)
-    gt = spark.createDataFrame(synth.ground_truth_pdf(600), LABELED_PAIRS)
-    res = PL.run_dedup(pages, labeled_pairs=gt)
-    return cluster_statistics(res.clusters)
+    docs = _read(spark, sf_dir, "documents")
+    preds = ngram_jaccard_pairs(docs, n=3, threshold=0.12).select(
+        F.col("left_id").cast("string").alias("left_id"),
+        F.col("right_id").cast("string").alias("right_id"),
+        F.lit(True).alias("match"),
+        F.lit(1.0).alias("probability"),
+    )
+    clusters = cluster_predictions(preds, docs.select(F.col("doc_id").cast("string")))
+    return cluster_statistics(clusters)
 
 
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -539,12 +672,23 @@ def q_string_hash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features_by_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: deterministic synthetic media → binary-column
-    feature extraction (mapInPandas) → per-kind stats.  Rows-only: media is
-    synthesized (decode stubs documented in operators/multimodal.py)."""
+    """Multimodal plumbing over driver data: documents → opaque binary media
+    column (utf-8 bytes, kind = doc_id % 3) → Arrow mapInPandas feature
+    extraction → per-kind stats.  Oracle-checked (r2): the extractor's
+    n_bytes and md5 content_hash are recomputable in DuckDB from the same
+    text, so the oracle verifies the binary column round-trips the Arrow
+    boundary byte-exactly (row counts, byte totals, hash cardinality)."""
     from entity_resolution_pipeline_spark.operators import multimodal as M
 
-    media = M.synthetic_media_df(spark, 120)
+    docs = _read(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("bytes"),
+    )
     feats = M.extract_media_features(media, dim=16)
     return (
         feats.groupBy("kind")
@@ -556,48 +700,60 @@ def q_media_features_by_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SWEEP_GRID = [round(0.05 * i, 2) for i in range(1, 10)]  # 0.05 .. 0.45
+
+
 def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W5: decision-threshold sweep on the labeled fixture — (threshold,
-    precision, recall, f1) per grid point.  Rows-only: model training."""
-    import pandas as pd
+    """W5: decision-threshold sweep — (threshold, n_predicted, tp,
+    precision, recall, f1) per grid point, fully DISTRIBUTED (grid × scored
+    pairs → one grouped agg; no driver loop).  Oracle-checked (r2): the
+    scorer here is deterministic exact 3-gram Jaccard predicting the
+    same-lang label, so DuckDB replays the identical sweep.  (The
+    trained-classifier sweep — same operator shape over model probabilities —
+    remains covered by tests/test_classify.py's tune_threshold tests.)"""
+    from entity_resolution_pipeline_spark.operators.dedup import ngram_jaccard_pairs
 
-    from entity_resolution_pipeline_spark import synth
-    from entity_resolution_pipeline_spark.operators import classify as C
-    from entity_resolution_pipeline_spark.operators import features as FE
-    from entity_resolution_pipeline_spark.config import DEFAULT_CONFIG
-    from entity_resolution_pipeline_spark.plans import pipeline as PL
-    from entity_resolution_pipeline_spark.schemas import LABELED_PAIRS
-    import numpy as np
-
-    pages = synth.pages_df(spark, 600)
-    gt = spark.createDataFrame(synth.ground_truth_pdf(600), LABELED_PAIRS)
-    res = PL.run_labeled(pages, gt, DEFAULT_CONFIG)
-    feature_cols = FE.selected_feature_names(
-        DEFAULT_CONFIG.features, DEFAULT_CONFIG.feature_selection
-    )
-    pairs = gt.select(
-        F.col("left").alias("left_id"), F.col("right").alias("right_id"), "match"
-    )
-    feats = PL.featurize_pairs(pairs, res, DEFAULT_CONFIG).toPandas()
-    X = feats[feature_cols].to_numpy(dtype=float)
-    y = feats["match"].to_numpy(dtype=int)
-    m = res.model
-    scaled = (X - np.array([m.scaler[c][0] for c in feature_cols])) / np.array(
-        [m.scaler[c][1] for c in feature_cols]
-    ) if getattr(m, "scaler", None) else X
-    probs = C.sigmoid(scaled @ m.weights + m.bias)
-    rows = []
-    for t in np.linspace(0.1, 0.9, 9):
-        ev = C.evaluate(y, probs, float(t))
-        rows.append(
-            {
-                "threshold": round(float(t), 2),
-                "precision": round(ev["precision"], 6),
-                "recall": round(ev["recall"], 6),
-                "f1": round(ev["f1"], 6),
-            }
+    docs = _read(spark, sf_dir, "documents")
+    cands = ngram_jaccard_pairs(docs, n=3, threshold=_SWEEP_GRID[0])
+    langs = docs.select("doc_id", "lang")
+    lab = (
+        cands.join(langs.toDF("left_id", "l_lang"), "left_id")
+        .join(langs.toDF("right_id", "r_lang"), "right_id")
+        .select(
+            "jaccard", (F.col("l_lang") == F.col("r_lang")).cast("long").alias("y")
         )
-    return spark.createDataFrame(pd.DataFrame(rows))
+    )
+    # total positives = Σ_lang C(n,2): computable from per-lang counts alone
+    pos_total = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .agg((F.sum(F.col("n") * (F.col("n") - 1)) / 2).cast("long").alias("p"))
+    )
+    grid = spark.createDataFrame([(t,) for t in _SWEEP_GRID], ["threshold"])
+    swept = (
+        grid.crossJoin(lab)
+        .where(F.col("jaccard") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.count("*").alias("n_predicted"), F.sum("y").alias("tp"))
+    )
+    prec = F.when(
+        F.col("n_predicted") > 0, F.col("tp") / F.col("n_predicted")
+    ).otherwise(F.lit(0.0))
+    rec = F.col("tp") / F.col("p")
+    f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(F.lit(0.0))
+    return (
+        grid.join(swept, "threshold", "left")
+        .na.fill({"n_predicted": 0, "tp": 0})
+        .crossJoin(F.broadcast(pos_total))
+        .select(
+            "threshold",
+            "n_predicted",
+            "tp",
+            F.round(prec, 6).alias("precision"),
+            F.round(rec, 6).alias("recall"),
+            F.round(f1, 6).alias("f1"),
+        )
+    )
 
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -787,6 +943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "winnow_candidates": q_winnow_candidates,
         "impute_hotdeck": q_impute_hotdeck,
+        "impute_knn_average": q_impute_knn_average,
+        "impute_knn_weighted": q_impute_knn_weighted,
         "er_cluster_stats": q_er_cluster_stats,
         "revenue_rollup": q_revenue_rollup,
         "supplier_rank_in_nation": q_supplier_rank_in_nation,
@@ -803,6 +961,109 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": q_json_props_stats,
         "clean_corpus": q_clean_corpus,
     }
+
+
+# ----------------------------------------------------- oracle SQL generators
+#
+# The r2 oracles below REGENERATE algorithm parameters (hash polynomials,
+# regex cascades, language profiles) from the same Python constants the
+# operators use, so the Spark implementation and its DuckDB check can never
+# silently drift apart.
+
+
+def _poly_terms_sql(k: int) -> str:
+    """DuckDB expression for the polynomial rolling hash of the k-char
+    window starting at position i of column `s` — the same hash
+    minhash.shingle_set / text_analysis._poly_hashes compute (byte == char
+    on this ASCII corpus)."""
+    from entity_resolution_pipeline_spark.functions.minhash import _MERSENNE_P, _pows
+
+    pw = _pows(k)
+    terms = " + ".join(
+        f"ord(substr(s,i+{j},1))::BIGINT*{int(pw[j])}" for j in range(k)
+    )
+    return f"({terms}) % {_MERSENNE_P}"
+
+
+def _bd_cascade_sql(which: str) -> str:
+    """DuckDB CASE cascade replaying functions/birth_death.py's first-match-
+    wins 15-pattern extraction (incl. the reference's keyword-disambiguation
+    quirks) over a `person` column.  `which` is 'birth' or 'death'."""
+    import re as _re
+
+    from entity_resolution_pipeline_spark.functions.birth_death import _PATTERN_SPECS
+
+    def clean(tok: str) -> str:
+        return f"NULLIF(TRY_CAST(regexp_extract({tok}, '[0-9]+') AS INT), 0)"
+
+    branches = []
+    for p in _PATTERN_SPECS:
+        pat = p.replace("'", "''")
+        ng = _re.compile(p).groups
+        g1 = f"regexp_extract(person, '{pat}', 1)"
+        disamb_birth = (
+            f"CASE WHEN contains(lower(person),'born') OR contains(lower(person),'b.') THEN {clean(g1)} "
+            f"WHEN contains(lower(person),'died') OR contains(lower(person),'d.') OR contains(person,'-') THEN NULL "
+            f"WHEN contains(lower(person),'fl.') OR contains(lower(person),'floruit') THEN {clean(g1)} "
+            f"ELSE NULL END"
+        )
+        disamb_death = (
+            f"CASE WHEN contains(lower(person),'born') OR contains(lower(person),'b.') THEN NULL "
+            f"WHEN contains(lower(person),'died') OR contains(lower(person),'d.') OR contains(person,'-') THEN {clean(g1)} "
+            f"ELSE NULL END"
+        )
+        if ng >= 2:
+            g2 = f"regexp_extract(person, '{pat}', 2)"
+            res_b = f"CASE WHEN {g1} <> '' AND {g2} <> '' THEN {clean(g1)} ELSE {disamb_birth} END"
+            res_d = f"CASE WHEN {g1} <> '' AND {g2} <> '' THEN {clean(g2)} ELSE {disamb_death} END"
+        else:
+            res_b, res_d = disamb_birth, disamb_death
+        res = res_b if which == "birth" else res_d
+        branches.append(f"WHEN regexp_matches(person, '{pat}') THEN {res}")
+    return "CASE " + " ".join(branches) + " ELSE NULL END"
+
+
+def _langid_profile_values_sql() -> str:
+    """(trigram, lang, weight) VALUES rows generated from the SAME profiles
+    and integer rank weights make_langid_udf uses."""
+    from entity_resolution_pipeline_spark.functions.text_analysis import _LANG_PROFILES
+
+    rows = []
+    for lang in sorted(_LANG_PROFILES):
+        prof = _LANG_PROFILES[lang]
+        for i, t in enumerate(prof):
+            rows.append(f"('{t}', '{lang}', {len(prof) - i})")
+    return ", ".join(rows)
+
+
+_IMPUTE_KNN_SQL = """
+WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id % 10 = 0),
+d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v, label FROM embeddings WHERE vec_id % 10 <> 0),
+scored AS (SELECT t.vec_id AS record_id, d.vec_id AS donor_id, d.label, d.v AS dv,
+                  list_cosine_similarity(t.v, d.v) AS cosine FROM t, d),
+cand AS (SELECT * FROM (
+           SELECT record_id, donor_id, label, dv, cosine,
+                  row_number() OVER (PARTITION BY record_id
+                                     ORDER BY cosine DESC, donor_id) AS rn
+           FROM scored WHERE cosine >= 0.30) WHERE rn <= 10)
+"""
+
+
+def _impute_agg_sql(weight_expr: str) -> str:
+    return (
+        _IMPUTE_KNN_SQL
+        + f""",
+pos AS (SELECT record_id, cosine, generate_subscripts(dv, 1) AS i, unnest(dv) AS x FROM cand),
+perpos AS (SELECT record_id, i, sum(x * ({weight_expr})) / sum({weight_expr}) AS v
+           FROM pos GROUP BY 1, 2),
+agg AS (SELECT record_id, round(avg(v), 6) AS vec_mean,
+               round(sqrt(sum(v * v)), 6) AS vec_norm
+        FROM perpos GROUP BY 1),
+nd AS (SELECT record_id, count(*) AS n_donors FROM cand GROUP BY 1)
+SELECT record_id, CAST(n_donors AS BIGINT) AS n_donors, vec_mean, vec_norm
+FROM agg JOIN nd USING (record_id)
+"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1126,5 +1387,183 @@ def oracle_sql() -> dict[str, str]:
               FROM toks WHERE len(t) >= 2)
             SELECT bigram, count(*) AS n FROM bg
             GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 100
+        """,
+        # ---------------- r2: formerly rows-only, now value-level oracles
+        "lang_id_counts": f"""
+            WITH prof(tri, lang, w) AS (VALUES {_langid_profile_values_sql()}),
+            s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),
+            tg AS (SELECT doc_id, substr(s, i, 3) AS tri
+                   FROM s, unnest(generate_series(1, length(s)-2)) t(i)),
+            scores AS (SELECT doc_id, lang, sum(w) AS score
+                       FROM tg JOIN prof USING (tri) GROUP BY 1, 2),
+            best AS (SELECT doc_id, lang FROM (
+                       SELECT doc_id, lang,
+                              row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY score DESC, lang ASC) rn
+                       FROM scores) WHERE rn = 1),
+            pred AS (SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred
+                     FROM documents d LEFT JOIN best b USING (doc_id))
+            SELECT lang_pred, count(*) AS n_docs FROM pred GROUP BY 1
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),
+            sh AS (SELECT DISTINCT doc_id, {_poly_terms_sql(5)} AS h
+                   FROM s, unnest(generate_series(1, length(s)-4)) t(i)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            common AS (SELECT a.doc_id l, b.doc_id r, count(*) c
+                       FROM sh a JOIN sh b USING (h)
+                       WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT l AS left_id, r AS right_id,
+                   round(c / (sa.sz + sb.sz - c), 6) AS jaccard
+            FROM common JOIN sizes sa ON sa.doc_id = l
+                        JOIN sizes sb ON sb.doc_id = r
+            WHERE c / (sa.sz + sb.sz - c) >= 0.5
+        """,
+        "simhash_pairs": r"""
+            WITH s AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+                       FROM documents),
+            grams AS (SELECT doc_id, substr(s, i, 3) AS g
+                      FROM s, unnest(generate_series(1, greatest(length(s)-2, 1))) t(i)),
+            gh AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 16))::UBIGINT AS h FROM grams),
+            bits AS (SELECT doc_id, b,
+                            sum(CASE WHEN (h >> b) & 1::UBIGINT = 1::UBIGINT
+                                     THEN 1 ELSE -1 END) AS vote
+                     FROM gh, unnest(generate_series(0, 63)) t(b) GROUP BY 1, 2),
+            sig AS (SELECT doc_id,
+                           CAST(sum(CASE WHEN vote > 0
+                                         THEN CASE WHEN b = 63 THEN -9223372036854775808::HUGEINT
+                                                   ELSE (1::BIGINT << b)::HUGEINT END
+                                         ELSE 0::HUGEINT END) AS BIGINT) AS sig
+                    FROM bits GROUP BY 1)
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        """,
+        "birth_death_extract": f"""
+            WITH p AS (SELECT doc_id, {_BD_PERSON_SQL} AS person FROM documents)
+            SELECT doc_id,
+                   {_bd_cascade_sql("birth")} AS birth_year,
+                   {_bd_cascade_sql("death")} AS death_year
+            FROM p
+        """,
+        "srp_ann_topk": """
+            WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+            scored AS (SELECT a.vec_id query_id, b.vec_id neighbor_id,
+                              round(list_cosine_similarity(a.v, b.v), 6) cosine
+                       FROM c a, c b WHERE a.vec_id != b.vec_id)
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM scored) WHERE rank <= 3
+        """,
+        "winnow_candidates": f"""
+            WITH s AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+                       FROM documents),
+            kh AS (SELECT doc_id, i, {_poly_terms_sql(16)} AS h,
+                          count(*) OVER (PARTITION BY doc_id) AS nh
+                   FROM s, unnest(generate_series(1, length(s)-15)) t(i)),
+            wmin AS (SELECT doc_id, i, nh,
+                            min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                         ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS mn
+                     FROM kh),
+            fps AS (SELECT DISTINCT doc_id, mn AS fp FROM wmin WHERE i <= nh - 5)
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                   count(*) AS shared_fingerprints
+            FROM fps a JOIN fps b USING (fp) WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 25
+        """,
+        "impute_hotdeck": _IMPUTE_KNN_SQL + """
+            SELECT record_id, CAST(1 AS BIGINT) AS n_donors,
+                   CAST(label AS STRING) AS imputed_value
+            FROM cand WHERE rn = 1
+        """,
+        "impute_knn_average": _impute_agg_sql("1.0"),
+        "impute_knn_weighted": _impute_agg_sql("cosine"),
+        "er_cluster_stats": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents),
+            pos AS (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks),
+            sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                   FROM pos WHERE i + 2 <= len(t)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            common AS (SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS c
+                       FROM sh a JOIN sh b USING (shingle)
+                       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            pairs AS (SELECT CAST(l AS VARCHAR) a, CAST(r AS VARCHAR) b FROM common
+                      JOIN sizes sa ON sa.doc_id = l JOIN sizes sb ON sb.doc_id = r
+                      WHERE c / (sa.sz + sb.sz - c) >= 0.12),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            walk(id, reach) AS (
+              SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+              UNION
+              SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.reach),
+            comp AS (SELECT id, min(reach) AS root FROM walk GROUP BY id),
+            allnodes AS (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents),
+            assign AS (SELECT n.id, coalesce(c.root, n.id) AS root
+                       FROM allnodes n LEFT JOIN comp c USING (id)),
+            csize AS (SELECT root, count(*) AS size FROM assign GROUP BY root)
+            SELECT CASE WHEN size = 1 THEN '1' WHEN size = 2 THEN '2'
+                        WHEN size <= 5 THEN '3-5' WHEN size <= 10 THEN '6-10'
+                        WHEN size <= 20 THEN '11-20' ELSE '21+' END AS size_bucket,
+                   count(*) AS num_clusters, CAST(sum(size) AS BIGINT) AS num_entities
+            FROM csize GROUP BY 1
+        """,
+        "media_features_by_kind": """
+            SELECT kind, count(*) AS n,
+                   CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+                   count(DISTINCT md5(text)) AS n_distinct
+            FROM (SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                              WHEN 1 THEN 'audio' ELSE 'video' END AS kind, text
+                  FROM documents)
+            GROUP BY kind
+        """,
+        "threshold_sweep": f"""
+            WITH toks AS (
+              SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+              FROM documents),
+            pos AS (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks),
+            sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                   FROM pos WHERE i + 2 <= len(t)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            common AS (SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS c
+                       FROM sh a JOIN sh b USING (shingle)
+                       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            cands AS (SELECT l, r, round(c / (sa.sz + sb.sz - c), 6) AS jaccard
+                      FROM common JOIN sizes sa ON sa.doc_id = l
+                                  JOIN sizes sb ON sb.doc_id = r
+                      WHERE c / (sa.sz + sb.sz - c) >= {_SWEEP_GRID[0]}),
+            lab AS (SELECT jaccard,
+                           CASE WHEN dl.lang = dr.lang THEN 1 ELSE 0 END AS y
+                    FROM cands JOIN documents dl ON dl.doc_id = l
+                               JOIN documents dr ON dr.doc_id = r),
+            pos_total AS (SELECT CAST(sum(n * (n - 1)) / 2 AS BIGINT) AS p
+                          FROM (SELECT count(*) AS n FROM documents GROUP BY lang)),
+            grid(threshold) AS (SELECT unnest([{", ".join(f"{t}::DOUBLE" for t in _SWEEP_GRID)}])),
+            swept AS (SELECT threshold,
+                             count(*) AS n_predicted,
+                             CAST(sum(y) AS BIGINT) AS tp
+                      FROM grid JOIN lab ON jaccard >= threshold GROUP BY 1)
+            SELECT g.threshold,
+                   coalesce(s.n_predicted, 0) AS n_predicted,
+                   coalesce(s.tp, 0) AS tp,
+                   round(CASE WHEN coalesce(s.n_predicted, 0) > 0
+                              THEN coalesce(s.tp, 0) / s.n_predicted
+                              ELSE 0.0 END, 6) AS precision,
+                   round(coalesce(s.tp, 0) / p.p, 6) AS recall,
+                   round(CASE WHEN (CASE WHEN coalesce(s.n_predicted, 0) > 0
+                                         THEN coalesce(s.tp, 0) / s.n_predicted
+                                         ELSE 0.0 END)
+                              + coalesce(s.tp, 0) / p.p > 0
+                              THEN 2 * (CASE WHEN coalesce(s.n_predicted, 0) > 0
+                                             THEN coalesce(s.tp, 0) / s.n_predicted
+                                             ELSE 0.0 END) * (coalesce(s.tp, 0) / p.p)
+                                   / ((CASE WHEN coalesce(s.n_predicted, 0) > 0
+                                            THEN coalesce(s.tp, 0) / s.n_predicted
+                                            ELSE 0.0 END) + coalesce(s.tp, 0) / p.p)
+                              ELSE 0.0 END, 6) AS f1
+            FROM grid g LEFT JOIN swept s ON s.threshold = g.threshold
+            CROSS JOIN pos_total p
         """,
     }

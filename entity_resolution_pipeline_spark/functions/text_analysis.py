@@ -19,7 +19,6 @@ UDF ops (deterministic, rows-only checks):
 from __future__ import annotations
 
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -97,12 +96,16 @@ def make_langid_udf(profiles: dict[str, tuple[str, ...]] | None = None):
     profs = profiles or _LANG_PROFILES
     langs = sorted(profs)
     # one combined trigram → weight-vector map: a single text pass scores all
-    # languages at once
+    # languages at once.  INTEGER rank weights (len .. 1) — same monotone
+    # ranking signal as 1/(i+1), but integer sums are order-independent and
+    # therefore bit-identical between engines, which makes the scoring
+    # SQL-oracle-checkable (float accumulation order would risk argmax flips
+    # on near-ties).
     tri_weights: dict[str, np.ndarray] = {}
     for li, lang in enumerate(langs):
         for i, t in enumerate(profs[lang]):
             vec = tri_weights.setdefault(t, np.zeros(len(langs)))
-            vec[li] += 1.0 / (i + 1)
+            vec[li] += float(len(profs[lang]) - i)
 
     @pandas_udf(StringType())
     def langid_udf(texts: pd.Series) -> pd.Series:
@@ -126,19 +129,40 @@ def make_langid_udf(profiles: dict[str, tuple[str, ...]] | None = None):
 
 # ------------------------------------------------------ winnowing fingerprint
 
+def _poly_hashes(s: str, k: int) -> np.ndarray:
+    """Rolling polynomial hash over the k-BYTE windows of the UTF-8 text, in
+    position order WITH duplicates (minhash.shingle_set's hash, minus the
+    space padding and the distinct step) — one sliding_window_view + one
+    uint64 matvec.  The polynomial form (vs crc32) is reproducible as plain
+    integer arithmetic in ANY engine, which makes winnowing oracle-checkable
+    in DuckDB SQL."""
+    from .minhash import _MERSENNE_P, _POW_CACHE, _pows
+
+    data = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+    pw = _POW_CACHE.get(k)
+    if pw is None:
+        pw = _pows(k)
+        _POW_CACHE[k] = pw
+    if len(data) < k:
+        padded = np.zeros(k, dtype=np.uint8)
+        padded[: len(data)] = data
+        w = padded[None, :]
+    else:
+        w = np.lib.stride_tricks.sliding_window_view(data, k)
+    return ((w.astype(np.uint64) * pw[None, :]).sum(axis=1) % np.uint64(_MERSENNE_P)).astype(np.int64)
+
+
 def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> list[int]:
-    """Winnowing (Schleimer/Wilkerson/Aiken '03): rolling crc32 over k-grams,
-    keep the min hash of each sliding window (rightmost min), dedup while
-    preserving order.  Output = the document's robust fingerprint set; two
-    documents sharing any fingerprint are near-dup candidates."""
+    """Winnowing (Schleimer/Wilkerson/Aiken '03): rolling polynomial hash
+    over k-grams, keep the min hash of each sliding window (rightmost min),
+    dedup while preserving order.  Output = the document's robust
+    fingerprint set; two documents sharing any fingerprint are near-dup
+    candidates."""
     s = re.sub(r"\s+", " ", text.lower()).strip()
-    if len(s) < k:
-        return [zlib.crc32(s.encode("utf-8"))] if s else []
-    hashes = np.array(
-        [zlib.crc32(s[i : i + k].encode("utf-8")) for i in range(len(s) - k + 1)],
-        dtype=np.int64,
-    )
-    if len(hashes) <= window:
+    if not s:
+        return []
+    hashes = _poly_hashes(s, k)
+    if len(s) < k or len(hashes) <= window:
         return [int(hashes.min())]
     picks = []
     for i in range(len(hashes) - window + 1):
@@ -168,15 +192,21 @@ def make_winnow_udf(k: int = 8, window: int = 4):
 def simhash64(text: str, n: int = 3) -> int:
     """64-bit SimHash (Charikar '02 / Manku et al. '07) over character
     n-grams: each gram votes ±1 per bit of its 64-bit hash; sign of the vote
-    sum gives the fingerprint bit.  Near-dups differ in few bits."""
+    sum gives the fingerprint bit.  Near-dups differ in few bits.  The gram
+    hash is the first 8 md5 bytes (big-endian) — md5 is available verbatim
+    in DuckDB, so the whole signature (and therefore simhash_pairs, whose
+    4×16 banding is COMPLETE for hamming ≤ 3 by pigeonhole) is
+    value-checkable against an independent SQL engine."""
+    import hashlib
+
     s = re.sub(r"\s+", " ", text.lower()).strip()
     if not s:
         return 0
     grams = [s[i : i + n] for i in range(max(len(s) - n + 1, 1))]
     hs = np.fromiter(
         (
-            (zlib.crc32(b) << 32) | zlib.crc32(b[::-1] + b"\x00")
-            for b in (g.encode("utf-8") for g in grams)
+            int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:8], "big")
+            for g in grams
         ),
         dtype=np.uint64,
         count=len(grams),

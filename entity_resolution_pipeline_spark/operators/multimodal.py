@@ -58,7 +58,9 @@ MEDIA_FEATURES = StructType(
 
 
 def _try_real_decoder(kind: str):
-    """Import-try for real codecs; returns None in this container."""
+    """Import-try for optional third-party codecs (Pillow for images);
+    returns None when absent — the stdlib minipng path then handles baseline
+    PNGs, so image decode is REAL either way."""
     try:  # pragma: no cover - library not present in the sandbox
         if kind == "image":
             from PIL import Image  # noqa: F401
@@ -69,11 +71,56 @@ def _try_real_decoder(kind: str):
     return None
 
 
+def _decode_image(data: bytes) -> np.ndarray | None:
+    """bytes → (h, w, c) uint8 pixels, or None if not a decodable image.
+    Pillow when installed (all formats); otherwise the pure-stdlib baseline
+    PNG decoder (functions/minipng.py)."""
+    if not data:
+        return None
+    pil = _try_real_decoder("image")
+    if pil is not None:  # pragma: no cover - Pillow absent in sandbox
+        import io
+
+        try:
+            img = np.asarray(pil.open(io.BytesIO(data)).convert("RGBA"))
+            return img
+        except Exception:
+            return None
+    from ..functions.minipng import decode_png
+
+    try:
+        return decode_png(data)
+    except ValueError:
+        return None
+
+
+def _image_feature(px: np.ndarray, dim: int) -> np.ndarray:
+    """REAL decoded-pixel descriptor: global per-channel mean/std + 2×2
+    spatial grid luminance means, tiled/truncated to `dim` and
+    L2-normalized.  Deterministic, partition-invariant, and actually a
+    function of the pixels (a production pipeline swaps in a vision tower
+    here — the Spark plumbing is identical)."""
+    h, w = px.shape[:2]
+    c = px.shape[2] if px.ndim == 3 else 1
+    flat = px.reshape(h, w, c).astype(np.float64)
+    stats = []
+    for ch in range(c):
+        stats += [flat[:, :, ch].mean(), flat[:, :, ch].std()]
+    lum = flat.mean(axis=2)
+    for ys in (slice(0, h // 2 or 1), slice(h // 2, h)):
+        for xs in (slice(0, w // 2 or 1), slice(w // 2, w)):
+            block = lum[ys, xs]
+            stats.append(block.mean() if block.size else 0.0)
+    v = np.resize(np.array(stats, dtype=np.float64), dim)
+    n = np.linalg.norm(v)
+    return (v / n if n > 0 else v).astype(np.float32)
+
+
 def _fake_feature(data: bytes, dim: int) -> np.ndarray:
-    """Deterministic stand-in for a decoded-media feature vector: seed a PRNG
-    from the content hash.  STUB for the decode→embed step (a real pipeline
-    decodes and runs a vision/audio tower here); deterministic so tests can
-    assert exact values and partition-invariance."""
+    """Deterministic stand-in for NON-IMAGE towers (audio/video embedding
+    models don't ship in this container): seed a PRNG from the content hash.
+    Deterministic so tests can assert exact values and partition-invariance;
+    images take the real decode path (_image_feature)."""
     seed = zlib.crc32(data) if data else 0
     rng = np.random.Generator(np.random.PCG64(seed))
     v = rng.standard_normal(dim)
@@ -83,10 +130,11 @@ def _fake_feature(data: bytes, dim: int) -> np.ndarray:
 def extract_media_features(media: DataFrame, dim: int = 64) -> DataFrame:
     """media table → MEDIA_FEATURES via one Arrow `mapInPandas` pass.
 
-    Real plumbing: batch iteration, per-row binary access, content hashing,
-    fixed-width float feature output.  The decode/model call inside is the
-    stub (`_fake_feature`); with Pillow present `_try_real_decoder` swaps in
-    a real decode for images.
+    Image rows are REALLY decoded (Pillow if installed, else the stdlib
+    baseline-PNG decoder) and featurized from their pixels
+    (`_image_feature`); rows whose bytes don't decode — and audio/video,
+    whose embedding towers don't ship in this container — get the
+    deterministic content-hash-seeded stand-in (`_fake_feature`).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -94,11 +142,14 @@ def extract_media_features(media: DataFrame, dim: int = 64) -> DataFrame:
             if not len(pdf):
                 continue
             feats, hashes, sizes = [], [], []
-            for data in pdf["bytes"]:
+            for kind, data in zip(pdf["kind"], pdf["bytes"]):
                 b = bytes(data) if data is not None else b""
                 hashes.append(hashlib.md5(b).hexdigest())
                 sizes.append(len(b))
-                feats.append(_fake_feature(b, dim).tolist())
+                px = _decode_image(b) if kind == "image" else None
+                feats.append(
+                    (_image_feature(px, dim) if px is not None else _fake_feature(b, dim)).tolist()
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -112,15 +163,47 @@ def extract_media_features(media: DataFrame, dim: int = 64) -> DataFrame:
     return media.mapInPandas(run, schema=MEDIA_FEATURES)
 
 
+RESIZED = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("bytes", BinaryType(), True),  # NULL ⇒ undecodable input
+    ]
+)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize operator. STUB: raises unless a real decoder is present —
-    the Spark plumbing (filter to images, mapInPandas contract) is real."""
-    if _try_real_decoder("image") is None:
-        raise NotImplementedError(
-            "image resize requires Pillow; container ships no codecs "
-            "(stub per round-1 scope — plumbing tested via extract_media_features)"
-        )
-    raise NotImplementedError("real decoder path not implemented yet")
+    """REAL image resize: decode (Pillow or stdlib baseline-PNG) →
+    nearest-neighbor resample → re-encode PNG, one Arrow pass over the image
+    rows.  Undecodable bytes yield NULL output bytes (surfaced, not
+    dropped, so a corpus pipeline can count decode failures)."""
+    from ..functions.minipng import encode_png, resize_nearest
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_bytes = []
+            for data in pdf["bytes"]:
+                px = _decode_image(bytes(data) if data is not None else b"")
+                out_bytes.append(
+                    encode_png(resize_nearest(px, width, height)) if px is not None else None
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "bytes": out_bytes,
+                }
+            )
+
+    return (
+        media.where(F.col("kind") == "image")
+        .select("media_id", "bytes")
+        .mapInPandas(run, schema=RESIZED)
+    )
 
 
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -143,7 +226,11 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synthetic_media_df(spark, n: int = 64, partitions: int = 4) -> DataFrame:
-    """Deterministic fake media table (seeded bytes) for tests/benchmarks."""
+    """Deterministic fake media table for tests/benchmarks.  Image rows
+    carry REAL encoded PNGs (seeded gradient+noise pixels through
+    minipng.encode_png) so the decode path runs on actual image bytes;
+    audio/video rows carry seeded opaque payloads."""
+    from ..functions.minipng import encode_png
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "audio", "video"]
@@ -154,15 +241,32 @@ def synthetic_media_df(spark, n: int = 64, partitions: int = 4) -> DataFrame:
                 i = int(i)
                 kind = kinds[i % 3]
                 rng = np.random.Generator(np.random.PCG64(1000 + i))
-                payload = rng.integers(0, 256, size=128 + (i % 64), dtype=np.uint8).tobytes()
+                if kind == "image":
+                    h, w = 6 + (i % 4), 8 + (i % 4)
+                    grad = np.add.outer(np.arange(h) * 9, np.arange(w) * 5)
+                    px = np.stack(
+                        [(grad + 31 * ch + i) % 256 for ch in range(3)], axis=2
+                    ).astype(np.uint8)
+                    px ^= rng.integers(0, 16, size=px.shape, dtype=np.uint8)
+                    payload = encode_png(px)
+                else:
+                    payload = rng.integers(
+                        0, 256, size=128 + (i % 64), dtype=np.uint8
+                    ).tobytes()
+                if kind == "image":
+                    width, height = w, h  # true decoded dimensions
+                elif kind == "video":
+                    width, height = 64 + (i % 8) * 16, 48 + (i % 8) * 12
+                else:
+                    width = height = None
                 rows.append(
                     {
                         "media_id": i,
                         "kind": kind,
                         "mime": mimes[kind],
                         "bytes": payload,
-                        "width": 64 + (i % 8) * 16 if kind != "audio" else None,
-                        "height": 48 + (i % 8) * 12 if kind != "audio" else None,
+                        "width": width,
+                        "height": height,
                         "duration_ms": 2500 + (i % 10) * 500 if kind != "image" else None,
                     }
                 )

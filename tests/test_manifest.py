@@ -102,3 +102,42 @@ def test_bucketed_stage_table_joins_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     # resume protocol still intact for bucketed stages
     assert M.stage_complete(spark, out, "bucket_a")
+
+
+def test_merge_stage_table_upsert_and_idempotency(spark, tmp_path):
+    """MERGE semantics (S7): key-matched rows replaced, others kept;
+    re-running the same merge yields a byte-identical table."""
+    base = str(tmp_path / "stages")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["id", "val", "score"]
+    )
+    M.merge_stage_table(v1, base, "dim", keys=("id",))
+    # upsert: id 2 updated, id 4 inserted, ids 1/3 untouched
+    v2 = spark.createDataFrame([(2, "B", 21), (4, "d", 40)], ["id", "val", "score"])
+    out = M.merge_stage_table(v2, base, "dim", keys=("id",))
+    rows1 = sorted(map(tuple, out.collect()))  # materialize pre-swap
+    got = {r[0]: (r[1], r[2]) for r in rows1}
+    assert got == {1: ("a", 10), 2: ("B", 21), 3: ("c", 30), 4: ("d", 40)}
+    # idempotency: same merge twice → identical table
+    again = M.merge_stage_table(v2, base, "dim", keys=("id",))
+    assert sorted(map(tuple, again.collect())) == rows1
+
+
+def test_overwrite_partitions_touches_only_incoming(spark, tmp_path):
+    """Dynamic partition overwrite (S8): re-ingesting one day replaces that
+    day's partition only; other partitions persist."""
+    base = str(tmp_path / "stages")
+    day1 = spark.createDataFrame(
+        [("2026-01-01", 1, "x"), ("2026-01-01", 2, "y"), ("2026-01-02", 3, "z")],
+        ["day", "id", "val"],
+    )
+    M.overwrite_partitions(day1, base, "events", partition_by=("day",))
+    redo = spark.createDataFrame([("2026-01-02", 3, "Z!")], ["day", "id", "val"])
+    out = M.overwrite_partitions(redo, base, "events", partition_by=("day",))
+    # hive partition values are type-inferred on read (string day → date)
+    rows1 = sorted(map(tuple, out.collect()))  # materialize pre-rewrite
+    got = {(str(r[-1]), r[0]): r[1] for r in rows1}
+    assert got == {("2026-01-01", 1): "x", ("2026-01-01", 2): "y", ("2026-01-02", 3): "Z!"}
+    # re-run of the same batch is a no-op
+    again = M.overwrite_partitions(redo, base, "events", partition_by=("day",))
+    assert sorted(map(tuple, again.collect())) == rows1

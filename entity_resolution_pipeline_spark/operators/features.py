@@ -420,6 +420,18 @@ def _cleanup_stage_dirs() -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def cleanup_stage_dirs() -> None:
+    """Delete all vector-staging shard dirs registered this session.  The
+    atexit hook covers process exit, but a long-lived session that runs
+    MANY pipelines (bench loops, notebooks) must call this between runs —
+    on tmpfs the leaked shards are RAM, and ~20 accumulated runs
+    OOM-killed a 320k-record bench JVM.  Only safe once every DataFrame
+    that scores against the current staging matrix has been materialized
+    (workers mmap shards lazily at first task use)."""
+    _cleanup_stage_dirs()
+    _STAGE_DIRS.clear()
+
+
 def _register_stage_dir(path: str) -> None:
     if not _STAGE_DIRS:
         import atexit

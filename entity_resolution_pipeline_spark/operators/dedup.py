@@ -184,6 +184,13 @@ def minhash_lsh_pairs(
        doc shingled once, not once per pair) and compute exact Jaccard as
        |A∩B| / (|A|+|B|−|A∩B|) — one JVM array_intersect, no second pass
        over the text.
+
+    Cache ownership: the signature table is persisted for the duration of
+    THIS plan (it feeds both the banding explode and the estimate
+    prefilter).  Long-lived sessions that invoke dedup operators in a loop
+    should `spark.catalog.clearCache()` between invocations (bench.py
+    does) — Spark's CacheManager holds cached plans until explicitly
+    dropped.
     """
     from ..functions.minhash import (
         make_band_keys_udf,

@@ -210,8 +210,9 @@ SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
 def recall_run(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     """Measured recall@3 of the approximate ANN paths vs the exact top-3
     baseline (DuckDB), at the correctness SF.  The SRP config is the one
-    q_srp_ann_topk ships (oracle-pinned recall 1.0); IVF is the rows-only
-    residual whose recall this metric documents."""
+    q_srp_ann_topk ships (oracle-pinned recall 1.0); the IVF row documents
+    SELECTIVE probing (n_probe=8 < 16 cells) — q_ivf_ann_topk itself ships
+    probe-all (n_probe=16), which is structurally exact and oracle-checked."""
     import duckdb
 
     exact_sql = f"""

@@ -2,9 +2,10 @@
 round #1): measure the approximate paths against exact baselines so
 "runs and is self-consistent" becomes "measured correct".
 
-Most formerly-rows-only queries gained full DuckDB value oracles in r2 (the
-driver's CORRECTNESS gate now covers them); these tests pin the residual
-approximate paths — IVF (whose k-means index has no SQL oracle) and the
+All 46 contract queries gained full DuckDB value oracles in r2 (the
+driver's CORRECTNESS gate covers them; q_ivf_ann_topk ships probe-all,
+which is structurally exact).  These tests pin what the oracles cannot:
+SELECTIVE-probe IVF recall (n_probe < n_centroids, the scale win) and the
 SRP S-curve across similarity regimes — against exact top-k."""
 
 from __future__ import annotations

@@ -429,8 +429,12 @@ def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus's nearest neighbors are LOW-cosine (median top-3 cosine ≈ 0.33),
     so the honest S-curve is shallow — 2 planes × 24 tables, which reaches
     recall 1.0 here (measured; any regression shows as a row mismatch).
-    Bucketing mechanics (salting, rerank, ranking) are identical to the
-    high-threshold configs."""
+    Note the cost honestly: at 2 planes each table has 4 buckets, so this
+    config's bucket join is DENSER than brute force (~6n² pair rows) — it
+    exists to value-check the bucketing machinery (salting, rerank,
+    ranking, identical to the high-threshold configs) at correctness SF,
+    not as the scale config; ann.srp_params_for picks the selective
+    many-plane regime whenever the threshold supports it."""
     from entity_resolution_pipeline_spark.operators.ann import lsh_bucket_topk
 
     emb = _read(spark, sf_dir, "embeddings")

@@ -60,18 +60,23 @@ def shingle_set(text: str, k: int = 3) -> np.ndarray:
     string — fully vectorized: one sliding_window_view + one uint64 matvec
     per document (the per-substring crc32 loop was ~1000× slower; each term
     < 255·p·k < 2⁴³, exact in uint64, same 31/32-bit collision regime as
-    crc32)."""
+    crc32).
+
+    Text shorter than k bytes after the 2-space padding yields an EMPTY
+    set — no full window exists, so Jaccard is undefined and the document
+    is excluded from LSH pairing (zero-padding a partial window would make
+    unrelated micro-docs J=1.0 near-dups, and would drift from the SQL
+    oracle's windowing, which emits no rows for them; exact duplicates of
+    short docs are exact-dedup's job).  The k=3 blocking path never hits
+    this: any non-empty name plus padding is ≥ 3 bytes."""
     data = np.frombuffer(f" {text.lower()} ".encode("utf-8"), dtype=np.uint8)
     pw = _POW_CACHE.get(k)
     if pw is None:
         pw = _pows(k)
         _POW_CACHE[k] = pw
-    if len(data) <= k:
-        padded = np.zeros(k, dtype=np.uint8)
-        padded[: len(data)] = data
-        w = padded[None, :]
-    else:
-        w = np.lib.stride_tricks.sliding_window_view(data, k)
+    if len(data) < k:
+        return np.empty(0, dtype=np.uint64)
+    w = np.lib.stride_tricks.sliding_window_view(data, k)
     hv = (w.astype(np.uint64) * pw[None, :]).sum(axis=1) % np.uint64(_MERSENNE_P)
     return np.unique(hv)
 
@@ -84,11 +89,15 @@ def _sig_from_shingles(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
 
 
 def minhash_signature(text: str | None, num_hashes: int = 64, k: int = 3) -> np.ndarray:
-    """int64[num_hashes] MinHash signature; empty text → all -1 sentinel."""
+    """int64[num_hashes] MinHash signature; empty/too-short text (no full
+    k-byte window) → all -1 sentinel (band_keys emits no keys for it)."""
     a, b = _coeffs(num_hashes)
     if not text:
         return np.full(num_hashes, -1, dtype=np.int64)
-    return _sig_from_shingles(shingle_set(text, k), a, b)
+    sh = shingle_set(text, k)
+    if not len(sh):
+        return np.full(num_hashes, -1, dtype=np.int64)
+    return _sig_from_shingles(sh, a, b)
 
 
 def band_keys(sig: np.ndarray, bands: int) -> list[str]:
@@ -106,11 +115,13 @@ def band_keys(sig: np.ndarray, bands: int) -> list[str]:
 
 
 def jaccard(text1: str, text2: str, k: int = 3) -> float:
-    """Exact shingle-set Jaccard (ground truth for MinHash estimates)."""
+    """Exact shingle-set Jaccard (ground truth for MinHash estimates).
+    Empty shingle sets (text shorter than the window) → 0.0: Jaccard is
+    undefined there and such docs are excluded from near-dup pairing."""
     s1 = set(shingle_set(text1, k).tolist())
     s2 = set(shingle_set(text2, k).tolist())
-    if not s1 and not s2:
-        return 1.0
+    if not s1 or not s2:
+        return 0.0
     return len(s1 & s2) / len(s1 | s2)
 
 
@@ -128,7 +139,8 @@ def make_minhash_udf(num_hashes: int = 64, k: int = 3):
             if not t:
                 out.append(empty)
                 continue
-            out.append(_sig_from_shingles(shingle_set(t, k), a, b).tolist())
+            sh = shingle_set(t, k)
+            out.append(_sig_from_shingles(sh, a, b).tolist() if len(sh) else empty)
         return pd.Series(out)
 
     return minhash_udf

@@ -86,7 +86,7 @@ _LANG_PROFILES: dict[str, tuple[str, ...]] = {
     "fr": (" de", "es ", "de ", " le", "le ", "ent", " la", "la ", "ion", "que"),
     "es": (" de", "de ", "os ", " la", "la ", "as ", "el ", " el", "que", " qu"),
     "it": (" di", "di ", " de", "to ", "la ", " la", "re ", "one", "che", " ch"),
-    "pl": ("ie ", "nie", " ni", "em ", " po", "ch ", "ych", " prz", "rze", "ego"),
+    "pl": ("ie ", "nie", " ni", "em ", " po", "ch ", "ych", "prz", "rze", "ego"),
 }
 
 
@@ -159,11 +159,16 @@ def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> list[int]:
     fingerprint set; two documents sharing any fingerprint are near-dup
     candidates."""
     s = re.sub(r"\s+", " ", text.lower()).strip()
-    if not s:
+    if not s or len(s) < k:
+        # no full k-gram window → no fingerprints (matches the SQL oracle's
+        # windowing; micro-docs are excluded from candidacy, and could never
+        # reach the shared-fingerprint floor anyway)
         return []
     hashes = _poly_hashes(s, k)
-    if len(s) < k or len(hashes) <= window:
-        return [int(hashes.min())]
+    if len(hashes) < window:
+        # fewer k-grams than the winnow window: same oracle semantics
+        # (`i <= nh - (window-1)` selects nothing) — no fingerprints
+        return []
     picks = []
     for i in range(len(hashes) - window + 1):
         w = hashes[i : i + window]

@@ -103,9 +103,66 @@ def brute_force_topk(
     )
 
 
+def cosine_expr(a: str, b: str) -> "F.Column":
+    """Exact cosine between two array<double> columns as ONE whole-stage-
+    codegen column expression (fold-based dot product and norms — JVM-side,
+    no UDF, no per-row Python).  UNROUNDED; pair operators round to 6dp
+    (the driver-compare convention) at their output boundary.  Shared by
+    every bucketed pair join (SRP/IVF/near-dup/impute) so the cosine
+    semantics can never drift between them."""
+    dot = F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return dot / (n(a) * n(b))
+
+
 def _srp_planes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     rng = np.random.Generator(np.random.PCG64(seed))
     return rng.standard_normal((n_planes, dim))
+
+
+def srp_params_for(
+    threshold: float,
+    target_recall: float = 0.95,
+    max_tables: int = 64,
+    max_planes: int = 16,
+) -> tuple[int, int, float]:
+    """S-curve-derived (n_planes, n_tables, expected_recall) for an SRP-LSH
+    cosine join at `threshold`.  Per-plane sign-collision probability for a
+    pair at cosine τ is p = 1 − arccos(τ)/π; a k-plane table collides with
+    p^k and T independent tables recover the pair with 1 − (1−p^k)^T.
+    Chooses the LARGEST k (most selective buckets → cheapest join) whose
+    required table count T = ⌈ln(1−R)/ln(1−p^k)⌉ still fits `max_tables` —
+    low thresholds genuinely need few planes / many tables (θ≈70° at τ=0.35
+    gives p≈0.61), high thresholds support many planes / few tables; a
+    FIXED k across regimes silently collapses recall on one side (measured:
+    8 planes ≈ 7% recall at this corpus's τ≈0.33 regime, tests/test_recall).
+    """
+    import math
+
+    tau = min(max(threshold, -1.0), 1.0)
+    p = 1.0 - math.acos(tau) / math.pi
+    if p <= 0.0:  # τ = −1: sign patterns never collide — no LSH regime
+        return 1, max_tables, 0.0
+    best = (1, max_tables)
+    for k in range(1, max_planes + 1):
+        pk = p**k
+        if pk >= 1.0:  # τ = 1 exactly
+            best = (k, 1)
+            continue
+        t_needed = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pk))
+        if t_needed <= max_tables:
+            best = (k, t_needed)
+        else:
+            break
+    k, t = best
+    expected = 1.0 - (1.0 - p**k) ** t
+    return k, t, expected
 
 
 def make_srp_bucket_udf(dim: int, n_planes: int = 12, n_tables: int = 4, seed: int = 7):
@@ -280,7 +337,9 @@ def ivf_topk(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     ).withColumn("c", cells("vec"))
     # members + queries (and, with salting, the cell-size aggs) all read
-    # base: materialize once so the assignment UDF runs once per vector
+    # base: materialize once so the assignment UDF runs once per vector.
+    # Cache ownership: the block lives for THIS plan; loop callers should
+    # spark.catalog.clearCache() between invocations (bench.py does)
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
     members = base.select("id", "vec", F.col("c.cell").alias("cell"))
     queries = base.select("id", "vec", F.explode(F.col("c.probes")).alias("cell"))
@@ -290,21 +349,13 @@ def ivf_topk(
         )
     l = queries.alias("l")
     r = members.alias("r")
-    dot = F.aggregate(
-        F.zip_with(F.col("l.vec"), F.col("r.vec"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(F.col(f"{side}.vec"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
     pairs = (
         l.join(r, "cell")
         .where(F.col("l.id") != F.col("r.id"))
         .select(
             F.col("l.id").alias("query_id"),
             F.col("r.id").alias("neighbor_id"),
-            F.round(dot / (norm("l") * norm("r")), 6).alias("cosine"),
+            F.round(cosine_expr("l.vec", "r.vec"), 6).alias("cosine"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -349,21 +400,14 @@ def lsh_bucket_topk(
     ).withColumn("bucket", F.explode(srp("vec")))
     if max_bucket_size:
         # salting reads v twice (bucket-size agg + join); materialize so the
-        # SRP UDF runs once per vector
+        # SRP UDF runs once per vector.  Cache ownership: the block lives
+        # for THIS plan; loop callers should clearCache() between calls
         v = v.persist(StorageLevel.MEMORY_AND_DISK)
         v = salt_hot_blocks(
             v, BlockingConfig(max_block_size=max_bucket_size), key_col="bucket"
         )
     l = v.alias("l")
     r = v.alias("r")
-    dot = F.aggregate(
-        F.zip_with(F.col("l.vec"), F.col("r.vec"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(F.col(f"{side}.vec"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
     joined = l.join(r, "bucket").where(F.col("l.id") != F.col("r.id"))
     if max_bucket_size:
         joined = joined.where(salted_pair_predicate())
@@ -371,7 +415,7 @@ def lsh_bucket_topk(
         joined.select(
             F.col("l.id").alias("query_id"),
             F.col("r.id").alias("neighbor_id"),
-            F.round(dot / (norm("l") * norm("r")), 6).alias("cosine"),
+            F.round(cosine_expr("l.vec", "r.vec"), 6).alias("cosine"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )

@@ -293,44 +293,45 @@ def srp_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 8,
-    n_tables: int = 8,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     max_bucket_size: int | None = 5000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Scale path for cosine-threshold near-dup pairs: SRP-LSH bucket the
     corpus (ann.make_srp_bucket_udf), exact cosine within buckets only.
-    Sub-quadratic shuffle on bucket keys; at the high thresholds near-dup
-    runs at (τ ≥ 0.9 ⇒ angle ≤ 26°), sign-pattern collision probability per
-    table is (1 − θ/π)^n_planes, so a handful of tables reaches ~1 recall.
-    Hot buckets are triangle-salted (blocking.salt_hot_blocks) so no join
-    bucket exceeds ~2·max_bucket_size."""
+    Sub-quadratic shuffle on bucket keys.  When n_planes/n_tables are not
+    given they are derived from the THRESHOLD via the S-curve
+    (ann.srp_params_for, expected recall ≥ 0.95): high thresholds get many
+    planes / few tables, low thresholds few planes / many tables — a fixed
+    plane count is only correct in one regime.  Hot buckets are
+    triangle-salted (blocking.salt_hot_blocks) so no join bucket exceeds
+    ~2·max_bucket_size."""
     from pyspark import StorageLevel
 
     from ..config import BlockingConfig
-    from ..operators.ann import make_srp_bucket_udf
+    from ..operators.ann import cosine_expr, make_srp_bucket_udf, srp_params_for
     from ..operators.blocking import salt_hot_blocks, salted_pair_predicate
 
-    dim = len(embeddings.select(vec_col).first()[0])
+    if n_planes is None or n_tables is None:
+        auto_k, auto_t, _ = srp_params_for(threshold)
+        n_planes = n_planes if n_planes is not None else auto_k
+        n_tables = n_tables if n_tables is not None else auto_t
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     srp = make_srp_bucket_udf(dim, n_planes=n_planes, n_tables=n_tables)
     v = embeddings.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     ).withColumn("bucket", F.explode(srp("vec")))
     if max_bucket_size:
+        # cache ownership: lives for THIS plan; loop callers clearCache()
         v = v.persist(StorageLevel.MEMORY_AND_DISK)
         v = salt_hot_blocks(
             v, BlockingConfig(max_block_size=max_bucket_size), key_col="bucket"
         )
     l = v.alias("l")
     r = v.alias("r")
-    dot = F.aggregate(
-        F.zip_with(F.col("l.vec"), F.col("r.vec"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(F.col(f"{side}.vec"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
     joined = l.join(r, "bucket").where(F.col("l.id") < F.col("r.id"))
     if max_bucket_size:
         joined = joined.where(salted_pair_predicate())
@@ -339,7 +340,7 @@ def srp_neardup_pairs(
         .select(
             F.col("l.id").alias("left_id"),
             F.col("r.id").alias("right_id"),
-            F.round(dot / (norm("l") * norm("r")), 6).alias("cosine"),
+            F.round(cosine_expr("l.vec", "r.vec"), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
         .dropDuplicates(["left_id", "right_id"])
@@ -364,9 +365,13 @@ def embedding_neardup_pairs(
     budget, not a row count: the matrix costs rows × dim × 8 bytes on the
     driver and per executor; when the estimate exceeds
     `broadcast_budget_bytes` (default 2 GiB) the operator automatically
-    falls back to the SRP-bucketed formulation (srp_neardup_pairs) instead
-    of raising — same output contract, sub-quadratic shuffle, no driver
-    collect.
+    falls back to the SRP-bucketed formulation (srp_neardup_pairs) —
+    same schema, sub-quadratic shuffle, no driver collect.  The fallback
+    is APPROXIMATE: its LSH parameters are derived from the threshold via
+    the S-curve (ann.srp_params_for) for expected recall ≥ 0.95 at the
+    threshold, and the switch is surfaced with a RuntimeWarning so a
+    silent exactness change is never invisible (below budget the result
+    is exact).
     """
     import numpy as np
 
@@ -384,9 +389,28 @@ def embedding_neardup_pairs(
     v = v.persist(StorageLevel.MEMORY_AND_DISK)
     n = v.count()
     if n * max(dim, 1) * 8 > broadcast_budget_bytes:
+        import warnings
+
+        from ..operators.ann import srp_params_for
+
         v.unpersist()
+        k, t, expected = srp_params_for(threshold)
+        warnings.warn(
+            f"embedding_neardup_pairs: {n} x {dim} float64 matrix exceeds the "
+            f"{broadcast_budget_bytes}-byte broadcast budget; falling back to "
+            f"SRP-LSH buckets ({k} planes x {t} tables, expected recall "
+            f"{expected:.3f} at cosine >= {threshold}) — approximate, not exact",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return srp_neardup_pairs(
-            embeddings, id_col=id_col, vec_col=vec_col, threshold=threshold
+            embeddings,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            n_planes=k,
+            n_tables=t,
+            dim=dim,
         )
     pdf = v.toPandas()
     ids = pdf["id"].to_numpy(dtype=np.int64)

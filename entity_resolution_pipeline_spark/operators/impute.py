@@ -21,19 +21,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import ImputationConfig
+from .ann import cosine_expr as _cosine_expr
 from .ann import make_srp_bucket_udf
-
-
-def _cosine_expr(a: str, b: str):
-    dot = F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    n = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    return dot / (n(a) * n(b))
 
 
 def knn_candidates(

@@ -15,6 +15,7 @@ pipeline change.
 from __future__ import annotations
 
 import hashlib
+import struct
 import zlib
 from typing import Iterator
 
@@ -90,7 +91,11 @@ def _decode_image(data: bytes) -> np.ndarray | None:
 
     try:
         return decode_png(data)
-    except ValueError:
+    except (ValueError, zlib.error, struct.error, IndexError, OverflowError):
+        # a corrupt-but-signature-valid PNG (truncated IDAT, short IHDR)
+        # surfaces as zlib/struct errors from the codec internals, not just
+        # ValueError — all decode failures map to None (NULL row), never a
+        # task abort
         return None
 
 

@@ -146,6 +146,28 @@ def read_stage_table(spark: SparkSession, base_dir: str, stage: str) -> DataFram
     return spark.read.parquet(os.path.join(base_dir, stage))
 
 
+def _recover_interrupted_swap(path: str) -> None:
+    """Crash recovery for merge_stage_table's two-rename swap.  The renames
+    are individually atomic but the PAIR is not: a driver death between
+    rename(path → trash) and rename(tmp → path) leaves the table existing
+    only as `<path>.old-<uuid>` — without recovery the next merge would take
+    the fresh-table branch and silently drop every previously merged row.
+    Restore the newest trash dir when the live path is missing; garbage-
+    collect completed-swap leftovers (`.old-*` beside a live path) and
+    orphaned tmp dirs (`.merge-*`).  Single-writer protocol, like the
+    reference's batch upsert — concurrent mergers are out of contract."""
+    import glob
+    import shutil
+
+    trash = sorted(glob.glob(glob.escape(path) + ".old-*"), key=os.path.getmtime)
+    if trash and not os.path.exists(path):
+        os.rename(trash.pop(), path)  # newest trash = the pre-crash table
+    for d in trash:
+        shutil.rmtree(d, ignore_errors=True)
+    for d in glob.glob(glob.escape(path) + ".merge-*"):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def merge_stage_table(
     df: DataFrame,
     base_dir: str,
@@ -160,16 +182,20 @@ def merge_stage_table(
     idempotency contract a resumed ingest needs.
 
     Protocol: merged table is written to a temp dir, then swapped into place
-    with two directory renames (atomic on a POSIX filesystem; a production
-    catalog — Iceberg/Delta — replaces the swap with a metadata commit, and
-    `MERGE INTO` maps 1:1 onto this anti-join ∪ union plan).  The manifest
-    summary row is written LAST, after the swap, so an interrupted merge
-    re-runs instead of resuming from a half-swapped table."""
+    with two directory renames (each atomic on a POSIX filesystem; a
+    production catalog — Iceberg/Delta — replaces the swap with a metadata
+    commit, and `MERGE INTO` maps 1:1 onto this anti-join ∪ union plan).
+    The rename PAIR is not atomic, so every merge first runs
+    `_recover_interrupted_swap`: a crash between the renames leaves the
+    table in the trash dir, and recovery restores it before merging.  The
+    manifest summary row is written LAST, after the swap, so an interrupted
+    merge re-runs instead of resuming from a half-swapped table."""
     import shutil
     import uuid
 
     spark = df.sparkSession
     path = os.path.join(base_dir, stage)
+    _recover_interrupted_swap(path)
     key_cols = list(keys)
     if os.path.exists(path):
         existing = spark.read.parquet(path)

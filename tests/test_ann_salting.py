@@ -109,9 +109,29 @@ def test_grid_salt_bipartite_exact_join(spark):
     assert len(got) == len(set(got)) and set(got) == want
 
 
+def test_srp_params_follow_the_s_curve():
+    """LSH parameters must adapt to the threshold regime: high thresholds →
+    many planes / few tables; low thresholds → few planes / many tables.  A
+    fixed plane count collapses recall in the regime it wasn't tuned for
+    (8 planes ≈ 7% recall at τ≈0.33, measured in test_recall)."""
+    import math
+
+    hi_k, hi_t, hi_r = ann.srp_params_for(0.95)
+    lo_k, lo_t, lo_r = ann.srp_params_for(0.35)
+    assert hi_k > lo_k and lo_t > hi_t
+    assert hi_r >= 0.95 and lo_r >= 0.95
+    # the analytic recall the chooser reports must match the S-curve
+    for tau, k, t, r in [(0.95, hi_k, hi_t, hi_r), (0.35, lo_k, lo_t, lo_r)]:
+        p = 1 - math.acos(tau) / math.pi
+        assert abs(r - (1 - (1 - p**k) ** t)) < 1e-12
+    # both respect the table budget
+    assert hi_t <= 64 and lo_t <= 64
+
+
 def test_embedding_neardup_auto_srp_fallback(spark):
-    """A corpus just over the broadcast budget must silently take the
-    SRP-bucketed path and produce identical pairs at the threshold."""
+    """A corpus just over the broadcast budget must take the SRP-bucketed
+    path (with a RuntimeWarning naming the parameter choice) and produce
+    identical pairs at the threshold."""
     rng = np.random.Generator(np.random.PCG64(4))
     n, d = 60, 8
     M = rng.standard_normal((n, d))
@@ -124,11 +144,19 @@ def test_embedding_neardup_auto_srp_fallback(spark):
         map(tuple, dedup.embedding_neardup_pairs(emb, threshold=0.98).collect())
     )
     # budget below n*d*8 bytes → must auto-route to srp_neardup_pairs
-    fallback = sorted(
-        map(tuple, dedup.embedding_neardup_pairs(
-            emb, threshold=0.98, broadcast_budget_bytes=n * d * 8 - 1
-        ).collect())
-    )
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        fallback = sorted(
+            map(tuple, dedup.embedding_neardup_pairs(
+                emb, threshold=0.98, broadcast_budget_bytes=n * d * 8 - 1
+            ).collect())
+        )
+    assert any(
+        issubclass(c.category, RuntimeWarning) and "SRP-LSH" in str(c.message)
+        for c in caught
+    ), "fallback must be surfaced, not silent"
     assert broadcast == fallback
     assert {(p[0], p[1]) for p in broadcast} >= {(0, 1), (6, 7)}
 

@@ -290,6 +290,47 @@ def test_resize_images_undecodable_surfaced(spark):
     assert len(rows) == 1 and rows[0]["bytes"] is None
 
 
+def test_corrupt_png_yields_null_not_task_abort(spark):
+    """Bytes that PASS the PNG signature check but are corrupt inside
+    (truncated IDAT → zlib.error; short IHDR → struct.error) must map to
+    NULL output, never escape the decode boundary and kill the Spark task
+    (real corpora are full of truncated downloads)."""
+    import struct
+    import zlib as _z
+
+    from entity_resolution_pipeline_spark.functions import minipng
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(tag, data):
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(
+            ">I", _z.crc32(tag + data)
+        )
+
+    good = minipng.encode_png(
+        np.zeros((4, 4, 3), dtype=np.uint8)
+    )
+    corrupt = [
+        # truncated IDAT: valid IHDR, garbage where zlib stream should be
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", b"\x00\x01\x02not-zlib")
+        + chunk(b"IEND", b""),
+        # short IHDR body (struct.unpack underflow)
+        sig + chunk(b"IHDR", b"\x00\x00"),
+        # good PNG chopped mid-stream (truncated download)
+        good[: len(good) // 2],
+    ]
+    rows = [(i, "image", blob) for i, blob in enumerate(corrupt)]
+    rows.append((99, "image", good))
+    df = spark.createDataFrame(rows, ["media_id", "kind", "bytes"])
+    resized = {r["media_id"]: r["bytes"] for r in multimodal.resize_images(df, 2, 2).collect()}
+    assert resized[99] is not None
+    assert all(resized[i] is None for i in range(len(corrupt)))
+    feats = multimodal.extract_media_features(df, dim=8).collect()
+    assert len(feats) == len(rows)  # no task abort; every row surfaced
+
+
 def test_image_features_are_pixel_functions(spark):
     """Image features must be functions of DECODED PIXELS: two byte-distinct
     encodings of the same pixels featurize identically (fake-feature hashing

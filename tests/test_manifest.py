@@ -123,6 +123,31 @@ def test_merge_stage_table_upsert_and_idempotency(spark, tmp_path):
     assert sorted(map(tuple, again.collect())) == rows1
 
 
+def test_merge_recovers_from_mid_swap_crash(spark, tmp_path):
+    """A driver death between the swap's two renames leaves the table only
+    in `<path>.old-<uuid>`; the next merge must RESTORE it, not take the
+    fresh-table branch and silently drop every previously merged row."""
+    import os
+
+    base = str(tmp_path / "stages")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["id", "val", "score"]
+    )
+    M.merge_stage_table(v1, base, "dim", keys=("id",))
+    path = os.path.join(base, "dim")
+    # simulate the crash window: rename(path → trash) happened,
+    # rename(tmp → path) did not; an orphaned tmp dir is also left behind
+    os.rename(path, f"{path}.old-deadbeef")
+    os.makedirs(f"{path}.merge-cafe")
+    v2 = spark.createDataFrame([(2, "B", 21), (4, "d", 40)], ["id", "val", "score"])
+    out = M.merge_stage_table(v2, base, "dim", keys=("id",))
+    got = {r["id"]: (r["val"], r["score"]) for r in out.collect()}
+    # ids 1/3 came back from the recovered trash dir
+    assert got == {1: ("a", 10), 2: ("B", 21), 3: ("c", 30), 4: ("d", 40)}
+    # leftovers garbage-collected
+    assert not [d for d in os.listdir(base) if d.startswith("dim.")]
+
+
 def test_overwrite_partitions_touches_only_incoming(spark, tmp_path):
     """Dynamic partition overwrite (S8): re-ingesting one day replaces that
     day's partition only; other partitions persist."""

@@ -14,3 +14,8 @@ from .ingest import (  # noqa: F401
     read_pages_stream,
     run_incremental,
 )
+from .sessions import (  # noqa: F401
+    read_events_stream,
+    session_window_stream,
+    sessionize_stream,
+)

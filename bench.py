@@ -265,6 +265,7 @@ def scaling_run(n_records: int = SCALE_N, repeats: int = SCALE_REPEATS) -> dict:
     level: the sandbox box shows bimodal contention (noisy-neighbor kernel
     storms) at high core counts."""
     out = {}
+    level_runs: dict[str, list[dict]] = {}
     n_small = max(CPUS // 4, 1)
     for label, cpus in (("N", n_small), ("4N", CPUS)):
         spark = make_spark(cpus, f"bench-scaling-{label}")
@@ -276,7 +277,8 @@ def scaling_run(n_records: int = SCALE_N, repeats: int = SCALE_REPEATS) -> dict:
             run_er_pipeline(spark, n_records=n_records, cpus=cpus)
             for _ in range(repeats)
         ]
-        runs.sort(key=lambda r: r["scoring_sec"])
+        level_runs[label] = runs
+        runs = sorted(runs, key=lambda r: r["scoring_sec"])
         best, med = runs[0], runs[len(runs) // 2]
         out[label] = {
             "cpus": cpus,
@@ -288,14 +290,24 @@ def scaling_run(n_records: int = SCALE_N, repeats: int = SCALE_REPEATS) -> dict:
     # best-of-k per level: the box shows sporadic noisy-neighbor kernel
     # storms (identical runs spread up to 2x at 32 cores); best-of-k at BOTH
     # levels estimates uncontended capability.  Median-based efficiency is
-    # reported alongside.
+    # reported alongside.  Each efficiency selects best/median BY ITS OWN
+    # metric (a best-scoring run is not necessarily the best-wall run —
+    # cross-selecting would bias the pipeline number by contention in the
+    # non-scoring phases), and divides by the ACTUAL core ratio rather than
+    # an assumed 4 (SPARK_GRAFT_CPUS need not be divisible by 4).
+    ratio = out["4N"]["cpus"] / out["N"]["cpus"]
     for key, metric in (
         ("scaling_efficiency_scoring", "scoring_pairs_per_sec"),
         ("scaling_efficiency_pipeline", "pairs_per_sec"),
     ):
-        out[key] = round(out["4N"][metric] / (4.0 * out["N"][metric]), 4)
+        vals = {
+            lbl: sorted(r[metric] for r in level_runs[lbl]) for lbl in ("N", "4N")
+        }
+        out[key] = round(vals["4N"][-1] / (ratio * vals["N"][-1]), 4)
         out[key + "_median"] = round(
-            out["4N"]["median"][metric] / (4.0 * out["N"]["median"][metric]), 4
+            vals["4N"][len(vals["4N"]) // 2]
+            / (ratio * vals["N"][len(vals["N"]) // 2]),
+            4,
         )
     return out
 

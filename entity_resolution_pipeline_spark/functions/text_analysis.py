@@ -204,9 +204,10 @@ def simhash64(text: str, n: int = 3) -> int:
     value-checkable against an independent SQL engine."""
     import hashlib
 
+    # blank text hashes the single EMPTY gram (md5('')) — exactly what the
+    # SQL oracle's substr('',1,3)='' computes, so blank docs pair with each
+    # other (they are exact dups) and never drift between engines
     s = re.sub(r"\s+", " ", text.lower()).strip()
-    if not s:
-        return 0
     grams = [s[i : i + n] for i in range(max(len(s) - n + 1, 1))]
     hs = np.fromiter(
         (
@@ -227,6 +228,8 @@ def simhash64(text: str, n: int = 3) -> int:
 def make_simhash_udf(n: int = 3):
     @pandas_udf(LongType())
     def simhash_udf(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: simhash64(t, n) if t else 0)
+        # NULL text → NULL signature (the oracle's md5(NULL) chain yields
+        # NULL, excluding the doc from pairing); blank text is a real value
+        return texts.map(lambda t: simhash64(t, n) if t is not None else None)
 
     return simhash_udf

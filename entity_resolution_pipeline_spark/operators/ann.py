@@ -82,14 +82,25 @@ def brute_force_topk(
             out_q, out_n, out_s = [], [], []
             kk = min(k + (0 if include_self else 1), len(ids))
             for j in range(len(qids)):
-                col = sims[:, j]
-                top = np.argpartition(-col, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
+                # prune on the ROUNDED cosine, tie-INCLUSIVE at the cut:
+                # argpartition on raw floats could evict a neighbor that
+                # ties at 6dp with the kk-th value, breaking the global
+                # (cosine desc, neighbor_id asc) tie-break the final window
+                # and the DuckDB oracle both apply.  Keeping every row at
+                # or above the kk-th rounded value costs a few extra rows
+                # per batch on ties; the window dedups.
+                col = np.round(sims[:, j], 6)
+                if kk < len(ids):
+                    cut = np.partition(col, len(col) - kk)[len(col) - kk]
+                    top = np.flatnonzero(col >= cut)
+                else:
+                    top = np.arange(len(ids))
                 for i in top:
                     if not include_self and ids[i] == qids[j]:
                         continue
                     out_q.append(qids[j])
                     out_n.append(ids[i])
-                    out_s.append(round(float(col[i]), 6))
+                    out_s.append(float(col[i]))
             yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_s})
 
     partials = corpus.mapInPandas(partial, schema=_TOPK_SCHEMA)

@@ -148,9 +148,12 @@ def ngram_jaccard_pairs(
         .join(sizes.toDF("right_id", "rs"), "right_id")
     )
     jac = F.col("common") / (F.col("ls") + F.col("rs") - F.col("common"))
+    # threshold the UNROUNDED ratio (the oracle does), round only the
+    # emitted value — filtering on the rounded value would keep pairs in
+    # [τ − 5e-7, τ) that the oracle drops
     return (
-        common.select("left_id", "right_id", F.round(jac, 6).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        common.where(jac >= threshold)
+        .select("left_id", "right_id", F.round(jac, 6).alias("jaccard"))
     )
 
 
@@ -242,9 +245,10 @@ def minhash_lsh_pairs(
     )
     common = F.size(F.array_intersect("lsh", "rsh"))
     jac = common / (F.col("ls") + F.col("rs") - common)
+    # unrounded threshold, rounded output — same boundary as the oracle
     return (
-        j.select("left_id", "right_id", F.round(jac, 6).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        j.where(jac >= threshold)
+        .select("left_id", "right_id", F.round(jac, 6).alias("jaccard"))
     )
 
 
@@ -266,6 +270,8 @@ def simhash_pairs(
     base = docs.select(F.col(id_col).alias("id"), F.col(text_col)).repartition(
         python_stage_width(docs.sparkSession)  # see minhash_lsh_pairs note
     ).select("id", sim(F.col(text_col)).alias("sig"))
+    # NULL-text docs carry NULL signatures (oracle parity) — not pairable
+    base = base.where(F.col("sig").isNotNull())
     bandcols = [
         F.concat(F.lit(f"{i}:"), F.shiftright("sig", 16 * i).bitwiseAND(F.lit(0xFFFF)).cast("string")).alias("band")
         for i in range(4)

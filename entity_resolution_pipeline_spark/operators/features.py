@@ -526,13 +526,17 @@ def _fused_battery_udf(
                 li = _valid_idx(pdf[f"l_{f}_h"])
                 ri = _valid_idx(pdf[f"r_{f}_h"])
                 ok = (li >= 0) & (ri >= 0)
-                A, na = mat.gather(li, ok)
-                B, nb = mat.gather(ri, ok)
-                # shards hold unit vectors: cosine is one dot; the stored
-                # norms only contribute the zero-vector-is-missing mask
+                A, _ = mat.gather(li, ok)
+                B, _ = mat.gather(ri, ok)
+                # shards hold unit vectors: cosine is one dot.  A PRESENT
+                # but zero-norm embedding stages as a zero row (dot 0 →
+                # ncos 0.5) — identical to the unfused parity path, where
+                # batch_cosine yields raw 0.0 → (0+1)/2.  Masking such rows
+                # to 0.0 on norms (na>0 & nb>0) would silently diverge the
+                # two paths; only truly MISSING fields (ok False) are 0.0.
                 sims = np.einsum("ij,ij->i", A, B)
                 ncos = ((sims.astype(np.float64) + 1.0) / 2.0)
-                out[f"{f}_cosine"] = np.where(ok & (na > 0) & (nb > 0), ncos, 0.0)
+                out[f"{f}_cosine"] = np.where(ok, ncos, 0.0)
                 present[f] = ok
                 if f == "title" and cfg.title_cosine_squared_enabled:
                     out["title_cosine_squared"] = out["title_cosine"] ** 2

@@ -156,7 +156,13 @@ def pairwise_f1_against_labels(
     predictions: DataFrame, labeled_pairs: DataFrame
 ) -> dict[str, float]:
     """The north-rule criterion: pairwise F1 of predicted matches vs the
-    labeled pair set (pairs canonicalized left<right on both sides)."""
+    labeled pair set (pairs canonicalized left<right on both sides).
+
+    FULL outer join: synth.ground_truth_pdf enumerates ALL within-entity
+    positives, so a predicted match on a pair absent from the labels is
+    provably cross-entity — a false positive that must count.  (A left
+    join would silently drop it and report inflated precision: a model
+    spraying matches over unlabeled pairs would still score 1.0.)"""
     lp = labeled_pairs.select(
         F.least("left", "right").alias("left_id"),
         F.greatest("left", "right").alias("right_id"),
@@ -167,7 +173,9 @@ def pairwise_f1_against_labels(
         F.greatest("left_id", "right_id").alias("right_id"),
         F.col("match").alias("pred"),
     )
-    joined = lp.join(pred, ["left_id", "right_id"], "left").fillna(False, ["pred"])
+    joined = lp.join(pred, ["left_id", "right_id"], "full").fillna(
+        False, ["pred", "label"]
+    )
     agg = joined.agg(
         F.sum(F.when(F.col("label") & F.col("pred"), 1).otherwise(0)).alias("tp"),
         F.sum(F.when(~F.col("label") & F.col("pred"), 1).otherwise(0)).alias("fp"),

@@ -12,11 +12,14 @@ new-session flag → running sum → per-session aggs):
 
 * `sessionize_stream` — the CUSTOM-stateful-operator pattern the built-ins
   can't express (running per-session state with arbitrary transition
-  logic): `applyInPandasWithState` with explicit per-user state
-  (open-session start / last-seen / count), event-time timeouts closing
-  idle sessions when the watermark passes, Arrow-batched per-group
+  logic): `applyInPandasWithState` with an explicit per-user event buffer
+  over the non-final horizon, watermark-sealed emission (a session is
+  emitted exactly once, only when no admissible event can still change
+  it), event-time timeouts flushing idle users, Arrow-batched per-group
   processing (vectorized numpy segment splits, no per-row Python beyond
-  the group loop Spark itself drives).  This is the template for stateful
+  the group loop Spark itself drives).  Late events within the watermark
+  extend, merge, or backward-grow buffered sessions EXACTLY as the batch
+  query would (pinned by test).  This is the template for stateful
   operators with richer transitions (per-entity incremental ER state,
   windowed dedup state) — sessionization keeps it parity-checkable against
   the batch query.
@@ -41,6 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StructField,
     StructType,
@@ -64,14 +68,11 @@ SESSION_SCHEMA = StructType(
     ]
 )
 
-# state: (open-session start, last event seen, event count) in epoch micros
-_STATE_SCHEMA = StructType(
-    [
-        StructField("start_us", LongType()),
-        StructField("last_us", LongType()),
-        StructField("n", LongType()),
-    ]
-)
+# state: the user's NON-FINAL event horizon — every buffered event
+# timestamp (epoch micros) belonging to a session the watermark has not yet
+# sealed.  Same asymptotic state bound as the engine's own session_window
+# store: O(events within watermark delay) per active user.
+_STATE_SCHEMA = StructType([StructField("buf", ArrayType(LongType()))])
 
 
 def read_events_stream(
@@ -106,54 +107,67 @@ def _sessions_frame(user_id: int, closed: list[tuple[int, int, int]]) -> pd.Data
 
 
 def make_sessionizer(gap_seconds: int = 1800):
-    """applyInPandasWithState transition function: merge the batch's events
-    (sorted, vectorized gap-split) with the user's open-session state, emit
-    every CLOSED session, keep the trailing open session in state, and arm
-    an event-time timeout at last_seen + gap so idleness closes it once the
-    watermark passes.  Strictly-greater gap boundary (batch parity)."""
+    """applyInPandasWithState transition function, WATERMARK-CORRECT for
+    late data: the state buffers every event timestamp of the user's
+    non-final horizon; each invocation re-splits the sorted buffer into
+    sessions (strictly-greater gap boundary — batch parity) and emits
+    exactly the sessions the watermark has SEALED.
+
+    Finality proof: Spark admits only rows with ts ≥ watermark, and an
+    event can extend/merge a session only if ts ≤ session_end + gap — so
+    once watermark > end + gap the session can never change (backward
+    merges need ts < start ≤ end < watermark − gap, already inadmissible).
+    Sealed sessions are emitted once and their events pruned from state;
+    everything else (including late-but-admitted events that extend, merge,
+    or backward-grow buffered sessions) stays in the buffer.  An event-time
+    timeout re-evaluates the buffer when the watermark passes the earliest
+    possible seal point, so idle users still flush."""
     gap_us = gap_seconds * 1_000_000
-    gap_ms = gap_seconds * 1_000
+
+    def _split(us: np.ndarray) -> list[tuple[int, int, int]]:
+        splits = (np.flatnonzero(np.diff(us) > gap_us) + 1).tolist()
+        bounds = [0] + splits + [len(us)]
+        return [
+            (int(us[a]), int(us[b - 1]), b - a)
+            for a, b in zip(bounds[:-1], bounds[1:])
+        ]
 
     def fn(
         key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        if state.hasTimedOut:
-            start_us, last_us, n = state.get
+        buf = np.asarray(state.get[0], dtype=np.int64) if state.exists else None
+        if not state.hasTimedOut:
+            parts = [p for p in pdfs if len(p)]
+            if parts:
+                rows = (
+                    pd.concat(parts, ignore_index=True)
+                    if len(parts) > 1
+                    else parts[0]
+                )
+                new = _us(rows["ts"])
+                buf = new if buf is None else np.concatenate([buf, new])
+        if buf is None or not len(buf):
+            if state.exists:
+                state.remove()
+            return
+        buf = np.sort(buf, kind="stable")
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        segs = _split(buf)
+        sealed = [s for s in segs if s[1] + gap_us < wm_us]
+        open_segs = segs[len(sealed) :]  # segs are time-ordered
+        if open_segs:
+            keep_from = np.searchsorted(buf, open_segs[0][0], side="left")
+            state.update((buf[keep_from:].tolist(),))
+            # re-check when the watermark can first seal the oldest open
+            # session; must sit strictly above the current watermark
+            state.setTimeoutTimestamp(
+                max((open_segs[0][1] + gap_us) // 1000 + 1, wm_us // 1000 + 1)
+            )
+        else:
             state.remove()
-            yield _sessions_frame(user_id, [(start_us, last_us, n)])
-            return
-        parts = [p for p in pdfs if len(p)]
-        if not parts:
-            return
-        rows = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
-        rows = rows.sort_values(["ts", "event_id"], kind="stable")
-        us = _us(rows["ts"])
-        closed: list[tuple[int, int, int]] = []
-        # vectorized gap split: positions where a NEW session starts
-        splits = (np.flatnonzero(np.diff(us) > gap_us) + 1).tolist()
-        bounds = [0] + splits + [len(us)]
-        segs = [
-            (int(us[a]), int(us[b - 1]), b - a)
-            for a, b in zip(bounds[:-1], bounds[1:])
-        ]
-        if state.exists:
-            start_us, last_us, n = state.get
-            s0, s1, sn = segs[0]
-            if s0 - last_us > gap_us:
-                closed.append((start_us, last_us, n))  # idle gap closed it
-            else:
-                segs[0] = (start_us, max(s1, last_us), n + sn)
-        closed.extend(segs[:-1])
-        start_us, last_us, n = segs[-1]
-        state.update((start_us, last_us, n))
-        # close the open session when event-time passes last_seen + gap;
-        # Spark requires the timeout to sit above the current watermark
-        state.setTimeoutTimestamp(
-            max(last_us // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
-        )
-        if closed:
-            yield _sessions_frame(user_id, closed)
+        if sealed:
+            yield _sessions_frame(user_id, sealed)
 
     return fn
 
@@ -162,11 +176,13 @@ def sessionize_stream(
     events: DataFrame, gap_seconds: int = 1800, watermark: str = "2 hours"
 ) -> DataFrame:
     """Streaming gap-sessionization as a CUSTOM stateful operator
-    (applyInPandasWithState, event-time timeout).  Emits one row per CLOSED
+    (applyInPandasWithState, event-time timeout).  Emits one row per SEALED
     session: (user_id, session_start, session_end, n_events) — append mode,
-    exactly-once per session given the file-source + checkpoint contract.
-    Scale shape: state is O(1) per active user (three longs), shuffles hash
-    on user_id only, and each micro-batch's per-user work is vectorized."""
+    exactly-once per session given the file-source + checkpoint contract,
+    late events within the watermark handled exactly.  Scale shape: state
+    is O(events within the watermark horizon) per active user (the same
+    bound as the engine's session_window state store), shuffles hash on
+    user_id only, and each micro-batch's per-user work is vectorized."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")

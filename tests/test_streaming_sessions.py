@@ -141,6 +141,58 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
     assert streamed - extras == expected
 
 
+def test_stateful_sessionize_admits_late_events(spark, tmp_path):
+    """Out-of-order ACROSS micro-batches: a held-out slice of events arrives
+    one batch late (but within the watermark).  The buffered-state design
+    must fold them into the right sessions — extending, merging, or
+    backward-growing buffered sessions — and still equal the batch result
+    exactly.  (Sessions are sealed only once the watermark passes
+    session_end + gap, so no session can be emitted before its late events
+    can no longer arrive.)"""
+    pdf = _events_pdf(spark)
+    in_dir = str(tmp_path / "events_late_in")
+    cut = int(len(pdf) * 0.7)
+    early = pdf.iloc[:cut]
+    held_out = early.iloc[::7]  # every 7th early event arrives LATE
+    on_time = early.drop(held_out.index)
+    spark.createDataFrame(on_time).coalesce(1).write.mode("append").parquet(in_dir)
+    late_batch = pd.concat([held_out, pdf.iloc[cut:]], ignore_index=True)
+    spark.createDataFrame(late_batch).coalesce(1).write.mode("append").parquet(in_dir)
+    # flush sentinels must clear the (huge) watermark delay that admits the
+    # late slice: one per user, far beyond max_ts + delay + gap
+    users = pdf["user_id"].unique()
+    sentinel = pd.DataFrame(
+        {
+            "event_id": [10**12 + i for i in range(len(users))],
+            "ts": [pdf["ts"].max() + pd.Timedelta(days=400)] * len(users),
+            "user_id": users,
+        }
+    )
+    spark.createDataFrame(sentinel).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = read_events_stream(spark, in_dir, max_files_per_trigger=1)
+    q = (
+        sessionize_stream(stream, GAP, watermark="365 days")
+        .writeStream.format("memory")
+        .queryName("sess_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (
+            r["user_id"],
+            int(r["session_start"].timestamp() * 1_000_000),
+            int(r["session_end"].timestamp() * 1_000_000),
+            r["n_events"],
+        )
+        for r in spark.table("sess_late").collect()
+    }
+    assert streamed == _batch_sessions(spark, strict_greater=True)
+
+
 def test_stateful_sessionize_multibatch_equals_singlebatch(spark, tmp_path):
     """Chunking must not change the result: 1-file-per-trigger replay equals
     an all-at-once replay (state merge across batches is exact)."""

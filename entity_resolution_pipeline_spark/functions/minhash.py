@@ -8,8 +8,9 @@ computation + shuffle: shingle → MinHash signature → band hashes → block
 keys, all inside Arrow pandas UDFs (no server, no per-row Python).
 
 MinHash uses k universal-hash permutations h_i(x) = (a_i·x + b_i) mod p over
-crc32 shingle values (Broder, "On the resemblance and containment of
-documents"); banding per Leskovec/Rajaraman/Ullman MMDS ch.3.  a_i/b_i come
+polynomial-rolling-hash values of the k-BYTE shingle windows (see
+`shingle_set`; Broder, "On the resemblance and containment of documents");
+banding per Leskovec/Rajaraman/Ullman MMDS ch.3.  a_i/b_i come
 from a fixed numpy PCG64 seed so signatures are deterministic across runs,
 executors, and parallelism levels.
 

@@ -944,6 +944,45 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule battery (word-count bounds, mean word length, stopword
+    presence, alphabetic-word ratio) — pure column expressions, zero
+    shuffle.  Webtext-curation extension; no reference counterpart (the
+    reference stops at record linkage)."""
+    from entity_resolution_pipeline_spark.operators.webtext import gopher_quality
+
+    return gopher_quality(_read(spark, sf_dir, "documents"))
+
+
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals: top word-2-gram character coverage and
+    duplicated word-5-gram coverage per document.  Two map-side-combined
+    (doc_id, gram) aggregations + one per-doc window."""
+    from entity_resolution_pipeline_spark.operators.webtext import repetition_metrics
+
+    return repetition_metrics(_read(spark, sf_dir, "documents"))
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped unigram LM filter: mean ln P(token) per document with P
+    the corpus' own unigram distribution.  Explode → word count → broadcast
+    vocab join → per-doc agg."""
+    from entity_resolution_pipeline_spark.operators.webtext import unigram_logprob
+
+    return unigram_logprob(_read(spark, sf_dir, "documents"))
+
+
+def q_fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MinHash fuzzy dedup (Dolma/RedPajama recipe): LSH pairs at
+    J >= 0.5 → connected components → keep min-id per cluster.  Oracle
+    validity: at these banding parameters every J >= 0.5 pair is found
+    (same argument as the minhash_lsh_pairs oracle), and CC over identical
+    edge sets yields identical VARCHAR-min roots."""
+    from entity_resolution_pipeline_spark.operators.webtext import fuzzy_dedup
+
+    return fuzzy_dedup(_read(spark, sf_dir, "documents"), threshold=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_groups": q_exact_dedup_groups,
@@ -992,6 +1031,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": q_json_props_stats,
         "clean_corpus": q_clean_corpus,
         "bpe_token_counts": q_bpe_token_counts,
+        "gopher_quality": q_gopher_quality,
+        "repetition_metrics": q_repetition_metrics,
+        "unigram_logprob": q_unigram_logprob,
+        "fuzzy_dedup_corpus": q_fuzzy_dedup_corpus,
     }
 
 
@@ -1001,6 +1044,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # regex cascades, language profiles) from the same Python constants the
 # operators use, so the Spark implementation and its DuckDB check can never
 # silently drift apart.
+
+
+def _stopwords_sql() -> str:
+    """DuckDB list literal of the SAME stopword tuple gopher_quality uses —
+    regenerated from the source constant so the two engines can't drift."""
+    from entity_resolution_pipeline_spark.functions.text_analysis import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+_STOPWORDS_SQL = _stopwords_sql()
 
 
 def _poly_terms_sql(k: int) -> str:
@@ -1617,5 +1671,97 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END, 6) AS f1
             FROM grid g LEFT JOIN swept s ON s.threshold = g.threshold
             CROSS JOIN pos_total p
+        """,
+        "gopher_quality": f"""
+            WITH s AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+            t AS (SELECT doc_id,
+                         CASE WHEN length(s) = 0 THEN CAST([] AS VARCHAR[])
+                              ELSE regexp_split_to_array(s, '\\s+') END AS t
+                  FROM s),
+            m AS (SELECT doc_id,
+                         CAST(len(t) AS BIGINT) AS n_words,
+                         CAST(coalesce(list_sum(list_transform(t, w -> length(w))), 0)
+                              AS BIGINT) AS sum_len,
+                         CAST(len(list_filter(t, w -> list_contains({_STOPWORDS_SQL}, w)))
+                              AS BIGINT) AS n_stop,
+                         CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+                              AS BIGINT) AS n_alpha
+                  FROM t)
+            SELECT doc_id, n_words,
+                   round(sum_len / greatest(n_words, 1), 6) AS mean_word_len,
+                   n_stop AS stopword_count,
+                   round(n_alpha / greatest(n_words, 1), 6) AS alpha_word_ratio,
+                   CAST(n_words BETWEEN 50 AND 100000 AS INT) AS ok_words,
+                   CAST(sum_len / greatest(n_words, 1) BETWEEN 3.0::DOUBLE AND 10.0::DOUBLE
+                        AS INT) AS ok_mean_len,
+                   CAST(n_stop >= 2 AS INT) AS ok_stopwords,
+                   CAST(n_alpha / greatest(n_words, 1) >= 0.8::DOUBLE AS INT) AS ok_alpha,
+                   CAST(n_words BETWEEN 50 AND 100000
+                        AND sum_len / greatest(n_words, 1) BETWEEN 3.0::DOUBLE AND 10.0::DOUBLE
+                        AND n_stop >= 2
+                        AND n_alpha / greatest(n_words, 1) >= 0.8::DOUBLE AS INT) AS passes
+            FROM m
+        """,
+        "repetition_metrics": """
+            WITH s AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+            t AS (SELECT doc_id, length(s) AS len_s,
+                         regexp_split_to_array(s, '\\s+') AS t
+                  FROM s WHERE length(s) > 0),
+            g2 AS (SELECT doc_id, len_s,
+                          array_to_string(list_slice(t, i, i + 1), ' ') AS g
+                   FROM t, unnest(generate_series(1, len(t) - 1)) u(i)),
+            c2 AS (SELECT doc_id, len_s, g, count(*) AS c FROM g2 GROUP BY 1, 2, 3),
+            top AS (SELECT doc_id,
+                           least(1.0::DOUBLE, c * length(g) / greatest(len_s, 1)) AS top_raw
+                    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                                       ORDER BY c DESC, g ASC) AS rn
+                          FROM c2) WHERE rn = 1),
+            g5 AS (SELECT doc_id, len_s,
+                          array_to_string(list_slice(t, i, i + 4), ' ') AS g
+                   FROM t, unnest(generate_series(1, len(t) - 4)) u(i)),
+            c5 AS (SELECT doc_id, len_s, g, count(*) AS c FROM g5 GROUP BY 1, 2, 3),
+            dup AS (SELECT doc_id,
+                           least(1.0::DOUBLE,
+                                 sum(c * length(g)) / greatest(min(len_s), 1)) AS dup_raw
+                    FROM c5 WHERE c >= 2 GROUP BY 1)
+            SELECT d.doc_id,
+                   round(coalesce(top_raw, 0.0::DOUBLE), 6) AS top_2gram_frac,
+                   round(coalesce(dup_raw, 0.0::DOUBLE), 6) AS dup_5gram_frac
+            FROM documents d LEFT JOIN top USING (doc_id) LEFT JOIN dup USING (doc_id)
+        """,
+        "unigram_logprob": """
+            WITH w AS (SELECT doc_id,
+                              unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+                       FROM documents WHERE length(trim(text)) > 0),
+            f AS (SELECT w, count(*) AS c FROM w GROUP BY 1),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM f),
+            p AS (SELECT w, ln(c / tot) AS lp FROM f CROSS JOIN tot)
+            SELECT doc_id, count(*) AS n_tokens, round(avg(lp), 6) AS avg_logprob
+            FROM w JOIN p USING (w) GROUP BY 1
+        """,
+        "fuzzy_dedup_corpus": f"""
+            WITH RECURSIVE
+            s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),
+            sh AS (SELECT DISTINCT doc_id, {_poly_terms_sql(5)} AS h
+                   FROM s, unnest(generate_series(1, length(s)-4)) t(i)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            common AS (SELECT a.doc_id l, b.doc_id r, count(*) c
+                       FROM sh a JOIN sh b USING (h)
+                       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            pairs AS (SELECT CAST(l AS VARCHAR) a, CAST(r AS VARCHAR) b
+                      FROM common JOIN sizes sa ON sa.doc_id = l
+                                  JOIN sizes sb ON sb.doc_id = r
+                      WHERE c / (sa.sz + sb.sz - c) >= 0.5),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            walk(id, reach) AS (
+              SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+              UNION
+              SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.reach),
+            comp AS (SELECT id, min(reach) AS root FROM walk GROUP BY id)
+            SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+                   coalesce(c.root, CAST(d.doc_id AS VARCHAR)) AS cluster_root,
+                   CAST(coalesce(c.root, CAST(d.doc_id AS VARCHAR))
+                        = CAST(d.doc_id AS VARCHAR) AS INT) AS kept
+            FROM documents d LEFT JOIN comp c ON c.id = CAST(d.doc_id AS VARCHAR)
         """,
     }

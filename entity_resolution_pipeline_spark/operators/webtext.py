@@ -1,0 +1,274 @@
+"""Webtext corpus-curation operators: the filter/score/dedup battery a
+large-scale LLM training-data pipeline runs over raw web documents.
+
+The reference engine (yalelibrary-metadata-services/entity_resolution_pipeline)
+stops at record linkage; a 100 TB webtext corpus additionally needs the
+standard curation stack published in the Gopher (Rae et al. 2021, §A1.1),
+C4 (Raffel et al. 2020, §2.2) and CCNet (Wenzek et al. 2020) pipelines:
+
+* `gopher_quality`      — per-document rule battery (word-count bounds,
+                          mean word length, stopword presence, alphabetic
+                          ratio), pure JVM column expressions.
+* `repetition_metrics`  — Gopher repetition signals: fraction of characters
+                          covered by the most frequent word n-gram and by
+                          duplicated word n-grams.
+* `unigram_logprob`     — CCNet-style language-model filter, reduced to the
+                          corpus' own unigram distribution: mean ln P(word)
+                          per document (no external model ships here; the
+                          distributed shape — count, broadcast, score — is
+                          identical with a real LM table).
+* `fuzzy_dedup`         — end-to-end MinHash near-dup removal as run by
+                          Dolma/RedPajama: LSH pairs → connected components
+                          → keep the minimum id per duplicate cluster.
+
+Scale notes (100 TB): every op is one or two shuffles on uniform keys.
+`gopher_quality` is shuffle-free (per-row exprs).  `repetition_metrics`
+shuffles (doc_id, gram) — key cardinality ≈ tokens per corpus, uniformly
+distributed, map-side combined.  `unigram_logprob`'s vocabulary table is
+Zipf-bounded (≈100M rows at web scale, a few GB) and broadcast by default;
+set broadcast_vocab=False to shuffle-join instead.  `fuzzy_dedup` inherits
+the banded LSH + large-star/small-star machinery already audited in
+dedup.py / cluster.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text_analysis import STOPWORDS
+
+__all__ = [
+    "gopher_quality",
+    "repetition_metrics",
+    "unigram_logprob",
+    "fuzzy_dedup",
+]
+
+
+def _tokens(text_col: str) -> F.Column:
+    """Lowercased whitespace tokens of the trimmed text; empty array for
+    blank/empty text (split('') would yield [''], a phantom token)."""
+    t = F.lower(F.trim(F.col(text_col)))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def gopher_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stopwords: int = 2,
+    min_alpha_word_ratio: float = 0.8,
+) -> DataFrame:
+    """Gopher rule battery (Rae et al. 2021 §A1.1) as pure column
+    expressions — whole-stage codegen, zero shuffle, zero UDF.
+
+    Per document: word count, mean word length, stopword count, fraction of
+    words containing an alphabetic character, plus one 0/1 flag per rule and
+    the conjunction `passes`.  Rule comparisons use the UNROUNDED values
+    (outputs are rounded for display/oracle hashing only), so a document on
+    a rounding boundary is classified identically by any engine.
+    """
+    toks = _tokens(text_col)
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = sum_len / F.greatest(n_words, F.lit(1))
+    n_stop = F.size(
+        F.filter(toks, lambda w: F.array_contains(F.array(*[F.lit(s) for s in STOPWORDS]), w))
+    ).cast("long")
+    n_alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    alpha_ratio = n_alpha_words / F.greatest(n_words, F.lit(1))
+
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_mean = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    ok_stop = n_stop >= min_stopwords
+    ok_alpha = alpha_ratio >= min_alpha_word_ratio
+
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        n_stop.alias("stopword_count"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        ok_words.cast("int").alias("ok_words"),
+        ok_mean.cast("int").alias("ok_mean_len"),
+        ok_stop.cast("int").alias("ok_stopwords"),
+        ok_alpha.cast("int").alias("ok_alpha"),
+        (ok_words & ok_mean & ok_stop & ok_alpha).cast("int").alias("passes"),
+    )
+
+
+def _gram_counts(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, len_s, gram, cnt) — word n-grams WITH multiplicity (unlike
+    dedup._token_shingles, which emits distinct shingles for Jaccard).
+    len_s rides the group keys (functionally dependent on id) so the
+    fraction denominators need no join back to the input."""
+    t = F.lower(F.trim(F.col(text_col)))
+    # sequence(start > stop) DESCENDS in Spark — the size guard is what
+    # keeps this from fabricating grams on short docs.
+    grams = F.when(
+        F.size("__toks") >= n,
+        F.expr(
+            f"transform(sequence(1, size(__toks) - {n - 1}),"
+            f" i -> array_join(slice(__toks, i, {n}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.length(t).alias("len_s"),
+            _tokens(text_col).alias("__toks"),
+        )
+        .select("id", "len_s", F.explode(grams).alias("gram"))
+        .groupBy("id", "len_s", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def repetition_metrics(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Gopher repetition signals per document:
+
+    * top_ngram_frac — characters covered by the most frequent word
+      `top_n`-gram (count × gram length / text length, capped at 1.0; ties
+      broken by lexicographically smallest gram).
+    * dup_ngram_frac — characters covered by all `dup_n`-grams occurring
+      more than once (Σ count × length / text length, capped at 1.0).
+
+    Coverage counts every occurrence, so overlapping occurrences may double
+    count before the cap — a deterministic simplification of Gopher's
+    character-marking definition that any engine reproduces exactly (the
+    SQL oracle computes the same expression).  Documents shorter than the
+    gram window score 0.0.  Physical shape: two map-side-combined hash
+    aggregations on (doc_id, gram) — uniform keys, no skew — plus one
+    per-doc window over the counted grams.
+    """
+    top = _gram_counts(docs, id_col, text_col, top_n)
+    w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("gram"))
+    top_frac = (
+        top.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "id",
+            F.least(
+                F.lit(1.0), F.col("cnt") * F.length("gram") / F.greatest("len_s", F.lit(1))
+            ).alias("top_raw"),
+        )
+    )
+    dup = (
+        _gram_counts(docs, id_col, text_col, dup_n)
+        .where(F.col("cnt") >= 2)
+        .groupBy("id")
+        .agg(
+            F.least(
+                F.lit(1.0),
+                F.sum(F.col("cnt") * F.length("gram")) / F.greatest(F.first("len_s"), F.lit(1)),
+            ).alias("dup_raw")
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(top_frac, "id", "left")
+        .join(dup, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.round(F.coalesce("top_raw", F.lit(0.0)), 6).alias(f"top_{top_n}gram_frac"),
+            F.round(F.coalesce("dup_raw", F.lit(0.0)), 6).alias(f"dup_{dup_n}gram_frac"),
+        )
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """CCNet-shaped LM filter: score = mean ln P(token) per document, with
+    P the corpus' own unigram distribution (count / total).  Low scores mark
+    documents whose vocabulary is atypical for the corpus.
+
+    Physical plan: one explode, one map-side-combined word count, one scalar
+    total folded in via crossJoin of a 1-row aggregate, then a join of the
+    exploded words against the vocabulary — broadcast when
+    `broadcast_vocab` (web-scale vocabularies are Zipf-bounded; pass False
+    to shuffle-join when the vocab outgrows the broadcast budget) — and one
+    final per-doc aggregation.  Every token is in the vocab by construction,
+    so the join is inner with no loss.
+    """
+    words = docs.select(
+        F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("w")
+    )
+    freq = words.groupBy("w").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("tot"))
+    vocab = freq.crossJoin(F.broadcast(total)).select(
+        "w", F.log(F.col("c") / F.col("tot")).alias("lp")
+    )
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    return (
+        words.join(vocab, "w")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "avg_logprob")
+    )
+
+
+def fuzzy_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash fuzzy dedup (the Dolma/RedPajama recipe): banded
+    LSH near-dup pairs at `threshold` (dedup.minhash_lsh_pairs — signatures
+    once, ids-only band join, estimate prefilter, exact-Jaccard verify) →
+    large-star/small-star connected components over the match graph →
+    canonical representative = minimum id per cluster.
+
+    Returns one row per input document: (id, cluster_root, kept) with
+    kept=1 iff the document IS its cluster's representative — the rows a
+    curation pipeline retains.  Ids are compared as strings end-to-end
+    (matching the SQL oracle's VARCHAR min), so root selection is
+    engine-independent.
+    """
+    from .cluster import connected_components
+    from .dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        docs, id_col=id_col, text_col=text_col, threshold=threshold
+    ).select(
+        F.col("left_id").cast("string").alias("src"),
+        F.col("right_id").cast("string").alias("dst"),
+    )
+    assignments = connected_components(pairs)
+    ids = docs.select(F.col(id_col).cast("string").alias("entity_id"))
+    return (
+        ids.join(assignments, "entity_id", "left")
+        .select(
+            F.col("entity_id").alias(id_col),
+            F.coalesce("root", F.col("entity_id")).alias("cluster_root"),
+            (F.coalesce("root", F.col("entity_id")) == F.col("entity_id"))
+            .cast("int")
+            .alias("kept"),
+        )
+    )

@@ -1,0 +1,147 @@
+"""Webtext curation operators: Gopher quality rules, repetition metrics,
+corpus unigram LM scoring, end-to-end fuzzy dedup (operators/webtext.py).
+Hand-computed expectations on crafted fixtures; the sf-scale value parity
+is pinned by the DuckDB oracles in __spark_entry__."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from entity_resolution_pipeline_spark.operators import webtext as W
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+# ------------------------------------------------------------ gopher_quality
+
+def test_gopher_each_rule_fails_independently(spark):
+    good = "the quick brown fox jumps over a lazy dog and runs on " * 5  # 55 words
+    too_short = "the quick fox and a dog"  # 6 words < min_words
+    no_stop = "quick brown foxes jump quickly " * 11  # 55 words, 0 stopwords
+    long_words = "extraordinarily incomprehensible " * 30  # mean len > 10
+    numeric = ("12345 67890 " * 30) + "the and is of to"  # alpha ratio < 0.8
+    out = {
+        r["doc_id"]: r
+        for r in W.gopher_quality(
+            _docs(spark, [good, too_short, no_stop, long_words, numeric]),
+            min_words=50,
+        ).collect()
+    }
+    assert out[0]["passes"] == 1
+    assert (out[1]["ok_words"], out[1]["passes"]) == (0, 0)
+    assert (out[2]["ok_stopwords"], out[2]["passes"]) == (0, 0)
+    assert (out[3]["ok_mean_len"], out[3]["passes"]) == (0, 0)
+    assert (out[4]["ok_alpha"], out[4]["passes"]) == (0, 0)
+
+
+def test_gopher_metrics_values(spark):
+    row = W.gopher_quality(_docs(spark, ["the cat sat"]), min_words=2).collect()[0]
+    assert row["n_words"] == 3
+    assert row["mean_word_len"] == pytest.approx(9 / 3)
+    assert row["stopword_count"] == 1  # 'the'
+    assert row["alpha_word_ratio"] == 1.0
+
+
+def test_gopher_empty_and_blank_text(spark):
+    rows = {r["doc_id"]: r for r in W.gopher_quality(_docs(spark, ["", "   "])).collect()}
+    for r in rows.values():
+        assert r["n_words"] == 0
+        assert r["mean_word_len"] == 0.0
+        assert r["passes"] == 0
+
+
+# -------------------------------------------------------- repetition_metrics
+
+def test_top_bigram_fraction_hand_computed(spark):
+    # tokens [a b a b a b]; bigrams: 'a b'x3, 'b a'x2; len('a b a b a b')=11
+    row = W.repetition_metrics(_docs(spark, ["a b a b a b"])).collect()[0]
+    assert row["top_2gram_frac"] == pytest.approx(round(3 * 3 / 11, 6))
+    # only four 5-grams, 'a b a b a' and 'b a b a b' once each -> no dups
+    assert row["dup_5gram_frac"] == 0.0
+
+
+def test_dup_5gram_fraction_caps_at_one(spark):
+    # 8 tokens: 5-grams 'a b a b a'x2, 'b a b a b'x2 -> (2*9+2*9)/15 > 1
+    row = W.repetition_metrics(_docs(spark, ["a b a b a b a b"])).collect()[0]
+    assert row["dup_5gram_frac"] == 1.0
+
+
+def test_repetition_short_and_unique_docs(spark):
+    rows = {
+        r["doc_id"]: r
+        for r in W.repetition_metrics(
+            _docs(spark, ["single", "all words here differ fully now"])
+        ).collect()
+    }
+    assert rows[0]["top_2gram_frac"] == 0.0  # no bigram window
+    assert rows[1]["dup_5gram_frac"] == 0.0
+    # unique bigrams: top count 1, gram 'all words' len 9, text len 31
+    assert rows[1]["top_2gram_frac"] == pytest.approx(round(9 / 31, 6))
+
+
+def test_top_bigram_tie_breaks_lexicographically(spark):
+    # 'b a' and 'a b' both appear once; tie -> lexicographically smaller 'a b'
+    row = W.repetition_metrics(_docs(spark, ["b a b"])).collect()[0]
+    assert row["top_2gram_frac"] == pytest.approx(round(3 / 5, 6))
+
+
+# ---------------------------------------------------------- unigram_logprob
+
+def test_unigram_logprob_hand_computed(spark):
+    # corpus tokens: a a b | b  ->  P(a)=0.5, P(b)=0.5
+    rows = {
+        r["doc_id"]: r for r in W.unigram_logprob(_docs(spark, ["a a b", "b"])).collect()
+    }
+    assert rows[0]["n_tokens"] == 3
+    assert rows[0]["avg_logprob"] == pytest.approx(round(math.log(0.5), 6))
+    assert rows[1]["avg_logprob"] == pytest.approx(round(math.log(0.5), 6))
+
+
+def test_unigram_logprob_rare_words_score_lower(spark):
+    common = "spark " * 20
+    rare = "antidisestablishmentarianism"
+    rows = {
+        r["doc_id"]: r
+        for r in W.unigram_logprob(_docs(spark, [common, rare])).collect()
+    }
+    assert rows[1]["avg_logprob"] < rows[0]["avg_logprob"]
+    p_common, p_rare = 20 / 21, 1 / 21
+    assert rows[0]["avg_logprob"] == pytest.approx(round(math.log(p_common), 6))
+    assert rows[1]["avg_logprob"] == pytest.approx(round(math.log(p_rare), 6))
+
+
+def test_unigram_logprob_skips_empty_docs(spark):
+    out = W.unigram_logprob(_docs(spark, ["", "a b"])).collect()
+    assert {r["doc_id"] for r in out} == {1}
+
+
+# --------------------------------------------------------------- fuzzy_dedup
+
+def test_fuzzy_dedup_keeps_min_id_per_cluster(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = [base, base, base + " extra", "completely different content here now"]
+    rows = {r["doc_id"]: r for r in W.fuzzy_dedup(_docs(spark, texts)).collect()}
+    assert rows["0"]["kept"] == 1 and rows["0"]["cluster_root"] == "0"
+    assert rows["1"]["kept"] == 0 and rows["1"]["cluster_root"] == "0"
+    assert rows["2"]["kept"] == 0 and rows["2"]["cluster_root"] == "0"
+    assert rows["3"]["kept"] == 1 and rows["3"]["cluster_root"] == "3"
+
+
+def test_fuzzy_dedup_all_unique_keeps_everything(spark):
+    # genuinely disjoint at the character-shingle level — a shared sentence
+    # template would itself push Jaccard past the threshold
+    texts = [
+        "alpha bravo charlie delta echo foxtrot",
+        "one two three four five six seven eight",
+        "zebra yak xylophone walrus vulture toad",
+        "quantum plasma neutron electron photon",
+    ]
+    out = W.fuzzy_dedup(_docs(spark, texts)).collect()
+    assert all(r["kept"] == 1 for r in out)
+    assert len(out) == 4

@@ -216,7 +216,13 @@ def unigram_logprob(
         F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("w")
     )
     freq = words.groupBy("w").agg(F.count("*").alias("c"))
-    total = freq.agg(F.sum("c").alias("tot"))
+    # total token count from per-doc sizes, NOT sum over freq: Σ size(toks)
+    # is a global agg (partial per partition + 1-row exchange, no explode),
+    # where agg-over-freq re-executes the whole word-count shuffle — Spark
+    # does not reuse the freq exchange across the two consumers.
+    total = docs.select(F.size(_tokens(text_col)).alias("n")).agg(
+        F.sum("n").alias("tot")
+    )
     vocab = freq.crossJoin(F.broadcast(total)).select(
         "w", F.log(F.col("c") / F.col("tot")).alias("lp")
     )

@@ -983,6 +983,34 @@ def q_fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_dedup(_read(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction audit per source: match counts for the
+    email/ipv4/phone patterns and how many documents redaction changed —
+    pure JVM regex, one grouped agg.  The synthetic corpus is PII-free, so
+    this oracle pins the zero-count plumbing and group shape;
+    tests/test_webtext.py runs the SAME oracle SQL against PII-positive
+    crafted data for value-level parity where it matters."""
+    from entity_resolution_pipeline_spark.operators.webtext import (
+        pii_metrics,
+        redact_pii,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    m = pii_metrics(
+        redact_pii(docs, out_col="red"), keep=("source", "text", "red")
+    )
+    return m.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("has_pii").cast("long").alias("docs_with_pii"),
+        F.sum("n_email").alias("n_emails"),
+        F.sum("n_ipv4").alias("n_ipv4"),
+        F.sum("n_phone").alias("n_phones"),
+        F.sum((F.col("red") != F.col("text")).cast("int"))
+        .cast("long")
+        .alias("docs_changed"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_groups": q_exact_dedup_groups,
@@ -1035,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": q_repetition_metrics,
         "unigram_logprob": q_unigram_logprob,
         "fuzzy_dedup_corpus": q_fuzzy_dedup_corpus,
+        "pii_scan": q_pii_scan,
     }
 
 
@@ -1055,6 +1084,38 @@ def _stopwords_sql() -> str:
 
 
 _STOPWORDS_SQL = _stopwords_sql()
+
+
+def _pii_scan_sql(table: str = "documents") -> str:
+    """DuckDB equivalent of q_pii_scan, REGENERATED from the same
+    PII_PATTERNS dict (patterns are RE2/Java-identical by construction:
+    no lookaround, no backreferences).  Parameterized on the table name so
+    tests can run it against PII-positive crafted data."""
+    from entity_resolution_pipeline_spark.operators.webtext import PII_PATTERNS
+
+    red = "text"
+    for pat, repl in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    counts = ",\n                   ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+        for kind, (pat, _) in PII_PATTERNS.items()
+    )
+    total = " + ".join(f"n_{k}" for k in PII_PATTERNS)
+    return f"""
+            WITH m AS (SELECT source, text,
+                   {counts},
+                   {red} AS red
+                   FROM {table})
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN {total} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS docs_with_pii,
+                   CAST(sum(n_email) AS BIGINT) AS n_emails,
+                   CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+                   CAST(sum(n_phone) AS BIGINT) AS n_phones,
+                   CAST(sum(CASE WHEN red != text THEN 1 ELSE 0 END) AS BIGINT)
+                       AS docs_changed
+            FROM m GROUP BY 1
+        """
 
 
 def _poly_terms_sql(k: int) -> str:
@@ -1764,4 +1825,5 @@ def oracle_sql() -> dict[str, str]:
                         = CAST(d.doc_id AS VARCHAR) AS INT) AS kept
             FROM documents d LEFT JOIN comp c ON c.id = CAST(d.doc_id AS VARCHAR)
         """,
+        "pii_scan": _pii_scan_sql(),
     }

@@ -44,7 +44,63 @@ __all__ = [
     "repetition_metrics",
     "unigram_logprob",
     "fuzzy_dedup",
+    "pii_metrics",
+    "redact_pii",
+    "PII_PATTERNS",
 ]
+
+# PII regexes chosen to behave identically under Java regex (Spark) and RE2
+# (DuckDB): no lookaround, no backreferences, leftmost-first greedy.  The
+# phone class deliberately excludes whitespace so a match never spans token
+# boundaries (identical tokenization-independent semantics in both engines).
+# Counts are computed independently per pattern on the ORIGINAL text, so an
+# IPv4 literal long enough to satisfy the phone shape counts as both —
+# redaction applies the patterns in this dict order (email → ipv4 → phone),
+# which resolves the overlap deterministically.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+?\d[\d().\-]{7,}\d", "<PHONE>"),
+}
+
+
+def pii_metrics(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document PII match counts (n_email, n_ipv4, n_phone) plus a
+    has_pii flag — pure JVM `regexp_extract_all`/`size`, zero shuffle, zero
+    UDF.  `keep` carries extra input columns through (same-row projection,
+    no join back).  A curation pipeline filters or routes on has_pii and
+    redacts with `redact_pii` before training."""
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{kind}")
+        for kind, (pat, _) in PII_PATTERNS.items()
+    ]
+    out = docs.select(F.col(id_col), *[F.col(c) for c in keep], *counts)
+    total = sum((F.col(f"n_{k}") for k in PII_PATTERNS), F.lit(0).cast("long"))
+    return out.withColumn("has_pii", (total > 0).cast("int"))
+
+
+def redact_pii(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Replace every PII match with its typed placeholder (<EMAIL>, <IP>,
+    <PHONE>), applying the patterns in PII_PATTERNS order.  Rewrites
+    `text_col` in place (or writes to `out_col`, keeping the original) — a
+    drop-in corpus transform.  Sequential `regexp_replace` is the same
+    left-to-right rewrite in Spark and DuckDB (with the 'g' flag there)."""
+    redacted = F.col(text_col)
+    for pat, repl in PII_PATTERNS.values():
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return docs.withColumn(out_col or text_col, redacted)
 
 
 def _tokens(text_col: str) -> F.Column:

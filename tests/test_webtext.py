@@ -145,3 +145,71 @@ def test_fuzzy_dedup_all_unique_keeps_everything(spark):
     out = W.fuzzy_dedup(_docs(spark, texts)).collect()
     assert all(r["kept"] == 1 for r in out)
     assert len(out) == 4
+
+
+# ----------------------------------------------------------------------- pii
+
+PII_TEXTS = [
+    "contact jane.doe+spam@example-mail.co.uk or call +1(555)123-4567 now",
+    "server at 192.168.100.200 responded, backup at 10.0.0.1",
+    "no personal information in this perfectly ordinary sentence",
+    "mail root@host.org from 172.16.254.1 phone 08700-100-222",
+]
+
+
+def test_pii_counts(spark):
+    rows = {
+        r["doc_id"]: r for r in W.pii_metrics(_docs(spark, PII_TEXTS)).collect()
+    }
+    assert (rows[0]["n_email"], rows[0]["n_phone"], rows[0]["has_pii"]) == (1, 1, 1)
+    assert (rows[1]["n_ipv4"], rows[1]["n_email"], rows[1]["has_pii"]) == (2, 0, 1)
+    assert rows[2]["has_pii"] == 0
+    # 172.16.254.1 (>= 9 chars of digits/dots) also satisfies the phone
+    # shape — counts are per-pattern on the original text, overlap documented
+    assert (rows[3]["n_email"], rows[3]["n_ipv4"], rows[3]["n_phone"]) == (1, 1, 2)
+
+
+def test_pii_redaction(spark):
+    out = {
+        r["doc_id"]: r["text"]
+        for r in W.redact_pii(_docs(spark, PII_TEXTS)).collect()
+    }
+    assert out[0] == "contact <EMAIL> or call <PHONE> now"
+    assert out[1] == "server at <IP> responded, backup at <IP>"
+    assert out[2] == PII_TEXTS[2]
+    assert "<EMAIL>" in out[3] and "<IP>" in out[3] and "<PHONE>" in out[3]
+
+
+def test_pii_redact_out_col_keeps_original(spark):
+    row = W.redact_pii(_docs(spark, [PII_TEXTS[0]]), out_col="red").collect()[0]
+    assert row["text"] == PII_TEXTS[0] and "<EMAIL>" in row["red"]
+
+
+def test_pii_scan_duckdb_parity_on_positive_data(spark, tmp_path):
+    """The sf fixture is PII-free (its oracle pins zeros); THIS is the
+    value-level cross-engine check on data that actually contains PII —
+    same operator, same generated SQL, crafted corpus."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    p = str(tmp_path / "documents.parquet")
+    docs = spark.createDataFrame(
+        [(i, t, f"src{i % 2}") for i, t in enumerate(PII_TEXTS * 5)],
+        "doc_id long, text string, source string",
+    )
+    docs.toPandas().to_parquet(p)
+    sdf = (
+        E.queries()["pii_scan"](spark, str(tmp_path))
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    sql = E.oracle_sql()["pii_scan"]
+    odf = con.execute(sql).fetchdf().sort_values("source").reset_index(drop=True)
+    assert list(sdf.columns) == list(odf.columns)
+    for c in sdf.columns:
+        assert sdf[c].astype(str).tolist() == odf[c].astype(str).tolist(), c
+    assert int(sdf["docs_with_pii"].sum()) == 15  # 3 of 4 texts x 5

@@ -45,6 +45,11 @@ HEADLINE = [
     "revenue_per_nation",
     "topk_per_group",
     "hourly_rollup",
+    # r2 additions — headline set GREW here (totals are not comparable to
+    # r1's 12-query total; per-query times remain comparable):
+    "fuzzy_dedup_corpus",
+    "unigram_logprob",
+    "repetition_metrics",
     "er_dedup_pipeline",
 ]
 

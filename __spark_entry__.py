@@ -983,6 +983,23 @@ def q_fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_dedup(_read(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 §C / Llama recipe): corpus docs
+    sharing word 4-grams with a deterministic held-out 'benchmark' slice
+    (doc_id % 97 == 0 — 6 docs at this sf).  n=4 / τ=0.03 are fixture-tuned
+    (the synthetic word-soup shares no 8-gram spans; real eval sets share
+    long spans and use n=8..13): 8 overlapping docs, 1 over threshold."""
+    from entity_resolution_pipeline_spark.operators.webtext import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+        n=4,
+        ratio_threshold=0.03,
+    )
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scan + redaction audit per source: match counts for the
     email/ipv4/phone patterns and how many documents redaction changed —
@@ -1064,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "fuzzy_dedup_corpus": q_fuzzy_dedup_corpus,
         "pii_scan": q_pii_scan,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1826,4 +1844,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN comp c ON c.id = CAST(d.doc_id AS VARCHAR)
         """,
         "pii_scan": _pii_scan_sql(),
+        "decontaminate": r"""
+            WITH toks AS (SELECT doc_id,
+                                 regexp_split_to_array(lower(trim(text)), '\s+') AS t
+                          FROM documents),
+            pos AS (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks),
+            grams AS (SELECT DISTINCT doc_id,
+                             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+                      FROM pos WHERE i + 3 <= len(t)),
+            cg AS (SELECT * FROM grams WHERE doc_id % 97 != 0),
+            bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+            sizes AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1),
+            hits AS (SELECT doc_id, count(*) AS n_overlap
+                     FROM cg JOIN bg USING (g) GROUP BY 1)
+            SELECT doc_id, n_overlap, n_grams,
+                   round(n_overlap / n_grams, 6) AS overlap_ratio,
+                   CAST(n_overlap / n_grams >= 0.03::DOUBLE AS INT) AS contaminated
+            FROM sizes JOIN hits USING (doc_id)
+        """,
     }

@@ -44,6 +44,7 @@ __all__ = [
     "repetition_metrics",
     "unigram_logprob",
     "fuzzy_dedup",
+    "decontaminate",
     "pii_metrics",
     "redact_pii",
     "PII_PATTERNS",
@@ -292,6 +293,48 @@ def unigram_logprob(
             F.round(F.avg("lp"), 6).alias("avg_logprob"),
         )
         .select(F.col("id").alias(id_col), "n_tokens", "avg_logprob")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    ratio_threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 §C / Llama recipe): flag corpus
+    documents sharing word `n`-grams with a benchmark/eval set.  Returns one
+    row per corpus document with ≥1 overlapping gram: (id, n_overlap,
+    n_grams, overlap_ratio, contaminated) where contaminated compares the
+    UNROUNDED ratio against `ratio_threshold`.
+
+    Physical shape: distinct word n-grams per side (dedup._token_shingles —
+    the measured O(L) arrays_zip formulation), benchmark grams deduped and
+    BROADCAST (eval sets are MBs against a 100 TB corpus), so the corpus
+    side never shuffles for the probe; per-doc sizes and hit counts are two
+    map-side-combined aggs on doc_id.  With a benchmark too large to
+    broadcast, drop the hint and the same plan shuffle-joins on the gram
+    key."""
+    from .dedup import _token_shingles
+
+    c = _token_shingles(corpus, id_col, text_col, n)
+    b = _token_shingles(benchmark, id_col, text_col, n).select("shingle").distinct()
+    sizes = c.groupBy("id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        c.join(F.broadcast(b), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return sizes.join(hits, "id").select(
+        F.col("id").alias(id_col),
+        "n_overlap",
+        "n_grams",
+        F.round(F.col("n_overlap") / F.col("n_grams"), 6).alias("overlap_ratio"),
+        (F.col("n_overlap") / F.col("n_grams") >= ratio_threshold)
+        .cast("int")
+        .alias("contaminated"),
     )
 
 

@@ -213,3 +213,66 @@ def test_pii_scan_duckdb_parity_on_positive_data(spark, tmp_path):
     for c in sdf.columns:
         assert sdf[c].astype(str).tolist() == odf[c].astype(str).tolist(), c
     assert int(sdf["docs_with_pii"].sum()) == 15  # 3 of 4 texts x 5
+
+
+# -------------------------------------------------------------- decontaminate
+
+def test_decontaminate_hand_computed(spark):
+    bench = _docs(spark, ["one two three four five"])
+    corpus = spark.createDataFrame(
+        [
+            (10, "zero one two three four five six"),
+            (11, "totally unrelated text with other words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = W.decontaminate(corpus, bench, n=4, ratio_threshold=0.5).collect()
+    assert len(out) == 1  # only overlapping docs are emitted
+    r = out[0]
+    # corpus 4-grams: 4 total, 2 shared ('one two three four','two three four five')
+    assert (r["doc_id"], r["n_overlap"], r["n_grams"]) == (10, 2, 4)
+    assert r["overlap_ratio"] == 0.5
+    assert r["contaminated"] == 1
+
+
+def test_decontaminate_duplicate_grams_count_once(spark):
+    bench = _docs(spark, ["a b c d"])
+    corpus = spark.createDataFrame(
+        [(5, "a b c d a b c d")], "doc_id long, text string"
+    )
+    r = W.decontaminate(corpus, bench, n=4, ratio_threshold=0.1).collect()[0]
+    # corpus distinct 4-grams: {a b c d, b c d a, c d a b, d a b c} -> 1 hit of 4
+    assert (r["n_overlap"], r["n_grams"]) == (1, 4)
+
+
+# --------------------------------------------------- streaming/batch parity
+
+def test_curation_battery_streaming_batch_parity(spark, tmp_path):
+    """The stateless curation ops (gopher_quality, pii_metrics, redact_pii)
+    are plain projections, so the SAME operator call composes with
+    Structured Streaming unchanged — pin bit-equality between a batch run
+    and an availableNow streaming run over the same parquet source."""
+    src = str(tmp_path / "docs")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(
+        200
+    ).write.parquet(src)
+
+    def battery(df):
+        return W.gopher_quality(W.redact_pii(df)).join(
+            W.pii_metrics(df).select("doc_id", "has_pii"), "doc_id"
+        )
+
+    batch_in = spark.read.parquet(src)
+    expected = sorted(map(tuple, battery(batch_in).collect()))
+
+    stream_in = spark.readStream.schema(batch_in.schema).parquet(src)
+    q = (
+        battery(stream_in)
+        .writeStream.format("memory")
+        .queryName("curation_parity")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM curation_parity").collect()))
+    assert got == expected and len(got) == 200

@@ -1000,6 +1000,32 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing: downsample src0 to 25%, src1 to 50%,
+    drop src2, keep everything else — decisions from a per-id md5 uniform,
+    so the kept SET (pinned by the id_checksum column) is identical in any
+    engine at any parallelism.  Zero shuffle before the audit agg."""
+    from entity_resolution_pipeline_spark.operators.webtext import stratified_sample
+
+    kept = stratified_sample(
+        _read(spark, sf_dir, "documents"),
+        {"src0": 0.25, "src1": 0.5, "src2": 0.0},
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget packing (500 tokens/chunk) per source in doc_id
+    order — per-chunk doc counts and token sums.  One window shuffle on the
+    group key."""
+    from entity_resolution_pipeline_spark.operators.webtext import pack_sequences
+
+    return pack_sequences(_read(spark, sf_dir, "documents"), budget_tokens=500)
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scan + redaction audit per source: match counts for the
     email/ipv4/phone patterns and how many documents redaction changed —
@@ -1082,6 +1108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_dedup_corpus": q_fuzzy_dedup_corpus,
         "pii_scan": q_pii_scan,
         "decontaminate": q_decontaminate,
+        "domain_mixture_sample": q_domain_mixture_sample,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1861,5 +1889,33 @@ def oracle_sql() -> dict[str, str]:
                    round(n_overlap / n_grams, 6) AS overlap_ratio,
                    CAST(n_overlap / n_grams >= 0.03::DOUBLE AS INT) AS contaminated
             FROM sizes JOIN hits USING (doc_id)
+        """,
+        "domain_mixture_sample": """
+            SELECT source, count(*) AS n_kept,
+                   CAST(sum(doc_id) AS BIGINT) AS id_checksum
+            FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  / 4294967296.0
+                  < CASE source WHEN 'src0' THEN 0.25::DOUBLE
+                                WHEN 'src1' THEN 0.5::DOUBLE
+                                WHEN 'src2' THEN 0.0::DOUBLE
+                                ELSE 1.0::DOUBLE END
+            GROUP BY 1
+        """,
+        "pack_sequences": r"""
+            WITH t AS (SELECT source, doc_id,
+                              CASE WHEN length(trim(text)) = 0 THEN 0
+                                   ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                              END AS n_tokens
+                       FROM documents),
+            c AS (SELECT source, doc_id, n_tokens,
+                         CAST(floor((sum(n_tokens) OVER (
+                                PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                              - n_tokens) / 500.0) AS BIGINT) AS chunk_id
+                  FROM t)
+            SELECT source, chunk_id, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+            FROM c GROUP BY 1, 2
         """,
     }

@@ -45,6 +45,8 @@ __all__ = [
     "unigram_logprob",
     "fuzzy_dedup",
     "decontaminate",
+    "stratified_sample",
+    "pack_sequences",
     "pii_metrics",
     "redact_pii",
     "PII_PATTERNS",
@@ -293,6 +295,78 @@ def unigram_logprob(
             F.round(F.avg("lp"), 6).alias("avg_logprob"),
         )
         .select(F.col("id").alias(id_col), "n_tokens", "avg_logprob")
+    )
+
+
+def _uniform_hash(id_col: str) -> F.Column:
+    """Deterministic uniform in [0, 1) from the id: first 8 hex chars of
+    md5(CAST(id AS STRING)) / 2^32.  md5 is bit-identical across engines
+    (the xxhash64 alternative is Spark-only), so sampling decisions are
+    reproducible in SQL, across runs, and across parallelism levels."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(float(1 << 32))
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Domain-mixture sampling: keep each document with its stratum's rate,
+    decided by a deterministic per-id uniform (_uniform_hash) — the
+    downsample-by-source step of corpus mixing (e.g. C4 1.0, books 0.5,
+    crawl 0.25).  Exactly reproducible: same input → same kept set, on any
+    engine, at any parallelism, with no RNG state.  Zero shuffle — one
+    filter the optimizer can push."""
+    rate = F.lit(float(default_rate))
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate)
+    return docs.where(_uniform_hash(id_col) < rate)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequential token-budget packing: within each `by` group in
+    `id_col` order, assign documents to training chunks so each chunk's
+    preceding cumulative token count stays under `budget_tokens`
+    (chunk_id = floor((cumsum - own_tokens) / budget) — a document may
+    straddle the boundary; real packers truncate, this assigns).  Returns
+    per-chunk stats: (by, chunk_id, n_docs, chunk_tokens).
+
+    Scale shape: one window over (group, id-order) — a single shuffle on
+    the group key; the running sum is O(rows).  At 100 TB the group key
+    (source/shard) bounds partition size; packing is embarrassingly
+    parallel across groups."""
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    w = (
+        Window.partitionBy(by)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_doc = docs.select(
+        F.col(by), F.col(id_col), toks.cast("long").alias("n_tokens")
+    ).withColumn(
+        "chunk_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / F.lit(float(budget_tokens))
+        ),
+    )
+    return per_doc.groupBy(by, "chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("chunk_tokens"),
     )
 
 

@@ -276,3 +276,54 @@ def test_curation_battery_streaming_batch_parity(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.sql("SELECT * FROM curation_parity").collect()))
     assert got == expected and len(got) == 200
+
+
+# ------------------------------------- stratified sampling / sequence packing
+
+def test_stratified_sample_rates_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "a" if i % 2 == 0 else "b") for i in range(2000)],
+        "doc_id long, text string, source string",
+    )
+    kept = W.stratified_sample(docs, {"a": 0.25, "b": 0.0}, default_rate=1.0)
+    counts = {r["source"]: r["n"] for r in kept.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert "b" not in counts  # rate 0 drops the stratum entirely
+    assert 150 <= counts["a"] <= 350  # ~25% of 1000, deterministic not exact
+    # decisions are per-id hashes: identical at any parallelism
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in W.stratified_sample(
+            docs.repartition(13), {"a": 0.25, "b": 0.0}
+        ).collect()
+    )
+    assert a == b
+
+
+def test_stratified_sample_default_rate_keeps_unlisted(spark):
+    docs = spark.createDataFrame(
+        [(i, "t", "other") for i in range(50)], "doc_id long, text string, source string"
+    )
+    assert W.stratified_sample(docs, {"a": 0.1}).count() == 50
+
+
+def test_pack_sequences_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "w w w", "s"),       # 3 tokens, cum-own=0  -> chunk 0
+            (2, "w w w", "s"),       # 3 tokens, cum-own=3  -> chunk 0
+            (3, "w w w", "s"),       # 3 tokens, cum-own=6  -> chunk 1
+            (4, "", "s"),            # 0 tokens, cum-own=9  -> chunk 1
+            (5, "w w", "t"),         # separate group resets -> chunk 0
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r["source"], r["chunk_id"]): r
+        for r in W.pack_sequences(docs, budget_tokens=5).collect()
+    }
+    assert (rows[("s", 0)]["n_docs"], rows[("s", 0)]["chunk_tokens"]) == (2, 6)
+    assert (rows[("s", 1)]["n_docs"], rows[("s", 1)]["chunk_tokens"]) == (2, 3)
+    assert (rows[("t", 0)]["n_docs"], rows[("t", 0)]["chunk_tokens"]) == (1, 2)

@@ -79,7 +79,11 @@ def pii_metrics(
     no join back).  A curation pipeline filters or routes on has_pii and
     redacts with `redact_pii` before training."""
     counts = [
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        F.size(
+            F.regexp_extract_all(
+                F.coalesce(F.col(text_col), F.lit("")), F.lit(pat), F.lit(0)
+            )
+        )
         .cast("long")
         .alias(f"n_{kind}")
         for kind, (pat, _) in PII_PATTERNS.items()
@@ -108,8 +112,10 @@ def redact_pii(
 
 def _tokens(text_col: str) -> F.Column:
     """Lowercased whitespace tokens of the trimmed text; empty array for
-    blank/empty text (split('') would yield [''], a phantom token)."""
-    t = F.lower(F.trim(F.col(text_col)))
+    NULL/blank/empty text (split('') would yield [''], a phantom token, and
+    an un-coalesced NULL would poison every downstream count/flag with
+    NULL)."""
+    t = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
     return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )
@@ -141,9 +147,7 @@ def gopher_quality(
         toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
     )
     mean_wl = sum_len / F.greatest(n_words, F.lit(1))
-    n_stop = F.size(
-        F.filter(toks, lambda w: F.array_contains(F.array(*[F.lit(s) for s in STOPWORDS]), w))
-    ).cast("long")
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS))).cast("long")
     n_alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
     alpha_ratio = n_alpha_words / F.greatest(n_words, F.lit(1))
 
@@ -347,9 +351,9 @@ def pack_sequences(
     the group key; the running sum is O(rows).  At 100 TB the group key
     (source/shard) bounds partition size; packing is embarrassingly
     parallel across groups."""
-    toks = F.when(
-        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
-    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    from ..functions.text_analysis import token_count_col
+
+    toks = token_count_col(F.coalesce(F.col(text_col), F.lit("")))
     w = (
         Window.partitionBy(by)
         .orderBy(id_col)

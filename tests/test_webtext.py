@@ -327,3 +327,24 @@ def test_pack_sequences_hand_computed(spark):
     assert (rows[("s", 0)]["n_docs"], rows[("s", 0)]["chunk_tokens"]) == (2, 6)
     assert (rows[("s", 1)]["n_docs"], rows[("s", 1)]["chunk_tokens"]) == (2, 3)
     assert (rows[("t", 0)]["n_docs"], rows[("t", 0)]["chunk_tokens"]) == (1, 2)
+
+
+# ----------------------------------------------------------- NULL-text rows
+
+def test_null_text_rows_are_zero_not_null(spark):
+    """SQL-NULL text (real in scraped corpora) must behave as empty, not
+    poison counts/flags with NULL (review finding r2)."""
+    docs = spark.createDataFrame(
+        [(0, None), (1, "the cat sat on the mat")], "doc_id long, text string"
+    )
+    g = {r["doc_id"]: r for r in W.gopher_quality(docs).collect()}
+    assert (g[0]["n_words"], g[0]["passes"]) == (0, 0)
+    p = {r["doc_id"]: r for r in W.pii_metrics(docs).collect()}
+    assert (p[0]["n_email"], p[0]["has_pii"]) == (0, 0)
+    r = {x["doc_id"]: x for x in W.repetition_metrics(docs).collect()}
+    assert r[0]["top_2gram_frac"] == 0.0
+    u = W.unigram_logprob(docs).collect()
+    assert {x["doc_id"] for x in u} == {1}  # NULL doc contributes no tokens
+    docs2 = docs.withColumn("source", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("s"))
+    packs = W.pack_sequences(docs2, budget_tokens=100).collect()
+    assert sum(x["chunk_tokens"] for x in packs) == 6

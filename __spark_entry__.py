@@ -1054,6 +1054,66 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot URL dedup (Common-Crawl curation): canonicalize noisy
+    capture URLs (case, default port, www, tracking params, fragments,
+    trailing slash) and keep the LATEST capture per canonical key — one
+    map-side-combined hash agg with a deterministic max_by, no window.
+    Captures are synthesized from documents with SQL-expressible noise
+    (doc_id % branches) so the DuckDB oracle rebuilds the identical input."""
+    from entity_resolution_pipeline_spark.operators.webtext import latest_capture
+
+    docs = _read(spark, sf_dir, "documents")
+    three = F.col("doc_id") % 3
+    raw = docs.select(
+        F.col("doc_id"),
+        F.col("doc_id").alias("fetch_seq"),
+        F.concat(
+            F.lit("HTTPS://WWW.CraWl.Example.ORG:443/doc/"),
+            (F.col("doc_id") % 101).cast("string"),
+            F.when(F.col("doc_id") % 5 == 0, "/").otherwise(""),
+            F.when(three == 0, "?utm_source=feed")
+            .when(three == 1, "?utm_campaign=x&page=2")
+            .otherwise(""),
+            F.when(F.col("doc_id") % 4 == 0, "#sec").otherwise(""),
+        ).alias("url"),
+    )
+    out = latest_capture(
+        raw, url_col="url", ts_col="fetch_seq", keep_cols=("doc_id",)
+    )
+    return out.select(
+        "canonical_url",
+        "n_captures",
+        F.col("latest_ts").alias("latest_seq"),
+        F.col("url").alias("kept_url"),
+        F.col("doc_id").alias("kept_doc_id"),
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/CCNet line-level boilerplate removal: lines occurring in
+    more than max_df=20 places corpus-wide are dropped from every document,
+    survivors reassembled in order.  Input documents are given a 3-line
+    shape in both engines (per-source header + 40-char payload prefix +
+    global footer); at sf>=0.01 the header (df=25/source) and footer
+    (df=corpus) are removed, payload survives.  Frequency agg keys on
+    md5(line) (16-byte uniform shuffle), removal set is the corpus' heavy
+    hitters (AQE-broadcast), reassembly is one doc-keyed shuffle."""
+    from entity_resolution_pipeline_spark.operators.webtext import dedup_lines
+
+    docs = _read(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("site: "), F.col("source")),
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40),
+            F.lit("(c) example corp - all rights reserved"),
+        ).alias("text"),
+    )
+    return dedup_lines(lined, max_df=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_groups": q_exact_dedup_groups,
@@ -1110,6 +1170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "domain_mixture_sample": q_domain_mixture_sample,
         "pack_sequences": q_pack_sequences,
+        "url_latest_capture": q_url_latest_capture,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -1917,5 +1979,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, chunk_id, count(*) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
             FROM c GROUP BY 1, 2
+        """,
+        # same capture synthesis + canonicalization chain as the Spark side
+        # (DuckDB regexp_replace needs the explicit 'g' flag where Spark is
+        # always-global; backrefs are \1 here vs $1 there)
+        "url_latest_capture": r"""
+            WITH raw AS (
+              SELECT doc_id, doc_id AS fetch_seq,
+                     'HTTPS://WWW.CraWl.Example.ORG:443/doc/'
+                     || CAST(doc_id % 101 AS VARCHAR)
+                     || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+                     || CASE doc_id % 3
+                          WHEN 0 THEN '?utm_source=feed'
+                          WHEN 1 THEN '?utm_campaign=x&page=2'
+                          ELSE '' END
+                     || CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END
+                     AS url
+              FROM documents),
+            canon AS (
+              SELECT doc_id, fetch_seq, url,
+                     regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(
+                         replace(replace(replace(lower(url),
+                           ':443/', '/'), ':80/', '/'), '://www.', '://'),
+                         '#.*', ''),
+                       '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+                       '^([^?]*)&', '\1?'), '(.)/$', '\1') AS canonical_url
+              FROM raw)
+            SELECT canonical_url,
+                   count(*) AS n_captures,
+                   max(fetch_seq) AS latest_seq,
+                   arg_max(url, fetch_seq) AS kept_url,
+                   arg_max(doc_id, fetch_seq) AS kept_doc_id
+            FROM canon GROUP BY 1
+        """,
+        # fragment strip precedes port/www strips on the Spark side too —
+        # order only matters for the '#' patterns, which never overlap the
+        # others in this synthesis
+        "line_dedup": r"""
+            WITH lined AS (
+              SELECT doc_id,
+                     'site: ' || source || chr(10)
+                     || substr(coalesce(text, ''), 1, 40) || chr(10)
+                     || '(c) example corp - all rights reserved' AS text
+              FROM documents),
+            ex AS (
+              SELECT l.doc_id, t.i AS pos,
+                     list_extract(string_split(l.text, chr(10)), t.i) AS line
+              FROM lined l,
+                   unnest(generate_series(
+                     1, len(string_split(l.text, chr(10))))) t(i)),
+            boiler AS (
+              SELECT line FROM ex GROUP BY line HAVING count(*) > 20)
+            SELECT doc_id, count(*) AS n_lines_kept,
+                   string_agg(line, chr(10) ORDER BY pos) AS clean_text
+            FROM ex WHERE line NOT IN (SELECT line FROM boiler)
+            GROUP BY doc_id
         """,
     }

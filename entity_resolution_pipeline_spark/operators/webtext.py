@@ -20,6 +20,13 @@ C4 (Raffel et al. 2020, §2.2) and CCNet (Wenzek et al. 2020) pipelines:
 * `fuzzy_dedup`         — end-to-end MinHash near-dup removal as run by
                           Dolma/RedPajama: LSH pairs → connected components
                           → keep the minimum id per duplicate cluster.
+* `canonical_url` /
+  `latest_capture`      — cross-snapshot capture dedup: pure-JVM URL
+                          canonicalization + keep-latest-per-key via one
+                          hash-agg max_by (no window).
+* `dedup_lines`         — RefinedWeb/CCNet line-level boilerplate removal:
+                          corpus line-frequency filter with ordered
+                          reassembly.
 
 Scale notes (100 TB): every op is one or two shuffles on uniform keys.
 `gopher_quality` is shuffle-free (per-row exprs).  `repetition_metrics`
@@ -50,6 +57,9 @@ __all__ = [
     "pii_metrics",
     "redact_pii",
     "PII_PATTERNS",
+    "canonical_url",
+    "latest_capture",
+    "dedup_lines",
 ]
 
 # PII regexes chosen to behave identically under Java regex (Spark) and RE2
@@ -454,4 +464,130 @@ def fuzzy_dedup(
             .cast("int")
             .alias("kept"),
         )
+    )
+
+
+# ----------------------------------------------- cross-snapshot URL curation
+
+def canonical_url(url_col) -> F.Column:
+    """Deterministic URL canonicalization as a pure JVM column expression
+    (whole-stage codegen, zero Python): lowercase; strip default :443/:80
+    ports; strip a leading ``www.``; drop the fragment; remove tracking
+    query parameters (``utm_*``, ``fbclid``, ``gclid``), promoting the
+    first surviving parameter back to ``?`` when the removed one led the
+    query string; strip one trailing slash.
+
+    Every rewrite is leftmost/global in BOTH Spark (always-global
+    regexp_replace) and the DuckDB oracle (explicit 'g' flag), and no
+    pattern uses lookaround, so the two engines agree byte-for-byte.  This
+    is the Common-Crawl cross-snapshot dedup key: multiple captures of the
+    same page (tracking params, casing, fragments) collapse to one key.
+    """
+    col = url_col if not isinstance(url_col, str) else F.col(url_col)
+    u = F.lower(col)
+    u = F.regexp_replace(u, r"#.*", "")  # fragment
+    u = F.replace(u, F.lit(":443/"), F.lit("/"))  # default https port
+    u = F.replace(u, F.lit(":80/"), F.lit("/"))  # default http port
+    u = F.replace(u, F.lit("://www."), F.lit("://"))
+    u = F.regexp_replace(u, r"[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*", "")
+    u = F.regexp_replace(u, r"^([^?]*)&", "$1?")  # orphaned & after strip
+    u = F.regexp_replace(u, r"(.)/$", "$1")  # trailing slash
+    return u
+
+
+def latest_capture(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Cross-snapshot dedup: keep the LATEST capture per canonical URL.
+
+    One map-side-combined hash aggregation on the canonical key — no
+    window, no second shuffle: ``max_by(struct(url, keep_cols),
+    struct(ts, url))`` picks the newest capture with the raw URL as a
+    deterministic tie-break, so output is identical at any parallelism.
+    Canonical URLs are near-unique keys (captures per page is a small
+    constant), so the shuffle is uniform at any corpus size — this is the
+    plan you'd run across 10^12 CC captures.
+
+    Returns (canonical_url, n_captures, latest_ts, url, *keep_cols) where
+    url/keep_cols come from the kept capture.
+    """
+    sel = [
+        canonical_url(url_col).alias("canonical_url"),
+        F.col(ts_col).alias("_ts"),
+        F.col(url_col).alias("_u"),
+    ] + [F.col(c) for c in keep_cols]
+    return (
+        pages.select(*sel)
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_captures"),
+            F.max("_ts").alias("latest_ts"),
+            F.max_by(
+                F.struct(F.col("_u").alias(url_col), *keep_cols),
+                F.struct("_ts", "_u"),
+            ).alias("_kept"),
+        )
+        .select("canonical_url", "n_captures", "latest_ts", "_kept.*")
+    )
+
+
+# -------------------------------------------------- line-level corpus dedup
+
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 1,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Corpus-frequency line dedup (the RefinedWeb / CCNet boilerplate
+    filter): any line whose exact text occurs in MORE than `max_df`
+    documents-lines corpus-wide is removed from every document; surviving
+    lines are reassembled in their original order.
+
+    Distributed shape (the one that holds at 100 TB):
+      1. split + posexplode           — narrow, no shuffle;
+      2. frequency agg on md5(line)   — map-side-combined, 128-bit uniform
+         key (16 bytes shuffled per distinct line, not the line text);
+      3. anti-join lines against the over-threshold set — that set is the
+         corpus' heavy hitters (df > max_df), which is orders of magnitude
+         smaller than the line table; AQE converts the join to broadcast
+         at runtime when it fits;
+      4. regroup by doc id, array_sort(struct(pos, line)) → concat_ws —
+         one shuffle keyed on doc id.
+
+    Documents whose every line is boilerplate drop out entirely (that IS
+    the curation semantics: a fully-templated page carries no signal).
+    NULL text produces no lines and therefore also drops — callers that
+    want empty-string semantics coalesce first.  md5 collisions would
+    conflate two distinct lines (probability ~n²/2¹²⁸ — negligible at any
+    corpus size).
+    """
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("_h", F.md5("line"))
+    boiler = (
+        lines.groupBy("_h")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_df)
+        .select("_h")
+    )
+    kept = lines.join(boiler, "_h", "left_anti")
+    return (
+        kept.groupBy("_id")
+        .agg(
+            F.count("*").alias("n_lines_kept"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            ).alias(out_col),
+        )
+        .withColumnRenamed("_id", id_col)
     )

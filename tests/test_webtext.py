@@ -348,3 +348,99 @@ def test_null_text_rows_are_zero_not_null(spark):
     docs2 = docs.withColumn("source", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("s"))
     packs = W.pack_sequences(docs2, budget_tokens=100).collect()
     assert sum(x["chunk_tokens"] for x in packs) == 6
+
+
+# --------------------------------------- URL canonicalization / line dedup
+
+def test_canonical_url_cases(spark):
+    from pyspark.sql import functions as F
+
+    cases = {
+        # case + www + default port + tracking-only query + fragment + slash
+        "HTTPS://WWW.X.ORG:443/doc/5/?utm_source=feed#sec": "https://x.org/doc/5",
+        # utm first, real param second -> & promoted back to ?
+        "https://x.org/doc/5?utm_campaign=x&page=2": "https://x.org/doc/5?page=2",
+        # utm last after a real param
+        "https://x.org/a?page=2&utm_medium=email": "https://x.org/a?page=2",
+        "http://www.x.org:80/a/": "http://x.org/a",
+        "https://x.org/clean?page=2": "https://x.org/clean?page=2",
+        "https://x.org/a?fbclid=abc123": "https://x.org/a",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: r["canon"]
+        for r in df.select("url", W.canonical_url("url").alias("canon")).collect()
+    }
+    assert got == cases
+
+
+def test_latest_capture_picks_newest_with_url_tiebreak(spark):
+    rows = [
+        ("https://X.org/a?utm_source=f", 1, 10),
+        ("https://x.org/a#frag", 2, 11),  # same canonical, newer
+        ("https://x.org/a", 3, 11),       # ts tie -> max raw url wins... 'a' < 'a#frag'? no: '#'<'' ordering
+        ("https://x.org/b", 4, 5),
+    ]
+    df = spark.createDataFrame(rows, "url string, doc_id long, fetch_seq long")
+    out = {
+        r["canonical_url"]: r
+        for r in W.latest_capture(
+            df, ts_col="fetch_seq", keep_cols=("doc_id",)
+        ).collect()
+    }
+    a = out["https://x.org/a"]
+    assert a["n_captures"] == 3 and a["latest_ts"] == 11
+    # tie on ts=11 between raw urls 'https://x.org/a#frag' and
+    # 'https://x.org/a' -> lexicographic max raw url is the '#frag' one
+    assert a["doc_id"] == 2 and a["url"] == "https://x.org/a#frag"
+    assert out["https://x.org/b"]["n_captures"] == 1
+
+
+def test_dedup_lines_removes_boilerplate_preserves_order(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "header\nalpha\nfooter"),
+            (1, "header\nbeta\nfooter"),
+            (2, "header\ngamma\nfooter\nheader"),
+            (3, "header\nfooter"),  # all boilerplate -> dropped entirely
+            (4, None),  # NULL text -> no lines -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in W.dedup_lines(docs, max_df=2).collect()}
+    # 'header' df=4, 'footer' df=4 (>2) removed; payload lines df=1 kept
+    assert set(out) == {0, 1, 2}
+    assert out[0]["clean_text"] == "alpha" and out[0]["n_lines_kept"] == 1
+    assert out[2]["clean_text"] == "gamma"
+
+
+def test_dedup_lines_keeps_at_threshold_and_orders_multiline(spark):
+    docs = spark.createDataFrame(
+        [(0, "z\na\nz"), (1, "q\nr")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in W.dedup_lines(docs, max_df=2).collect()}
+    # 'z' df=2 == max_df -> KEPT (strictly-greater removal); order preserved
+    assert out[0]["clean_text"] == "z\na\nz" and out[0]["n_lines_kept"] == 3
+    assert out[1]["clean_text"] == "q\nr"
+
+
+def test_url_line_queries_duckdb_parity_small(spark):
+    """Value parity for the two new contract queries at sf0.001 (the driver
+    re-checks at sf0.01)."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    for name in ("url_latest_capture", "line_dedup"):
+        sdf = E.queries()[name](spark, sf).toPandas()
+        odf = con.sql(E.oracle_sql()[name]).df()
+        cols = sorted(sdf.columns)
+        assert cols == sorted(odf.columns), name
+        s = sdf[cols].sort_values(cols).reset_index(drop=True)
+        o = odf[cols].sort_values(cols).reset_index(drop=True)
+        assert len(s) == len(o) and s.equals(o.astype(s.dtypes.to_dict())), name

@@ -51,6 +51,9 @@ HEADLINE = [
     "unigram_logprob",
     "repetition_metrics",
     "er_dedup_pipeline",
+    # late-r2 additions (set grew 15 → 17):
+    "url_latest_capture",
+    "line_dedup",
 ]
 
 

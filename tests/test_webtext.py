@@ -248,18 +248,35 @@ def test_decontaminate_duplicate_grams_count_once(spark):
 # --------------------------------------------------- streaming/batch parity
 
 def test_curation_battery_streaming_batch_parity(spark, tmp_path):
-    """The stateless curation ops (gopher_quality, pii_metrics, redact_pii)
-    are plain projections, so the SAME operator call composes with
-    Structured Streaming unchanged — pin bit-equality between a batch run
-    and an availableNow streaming run over the same parquet source."""
+    """The stateless curation ops (gopher_quality, pii_metrics, redact_pii,
+    canonical_url) are plain projections, so the SAME operator call composes
+    with Structured Streaming unchanged — pin bit-equality between a batch
+    run and an availableNow streaming run over the same parquet source."""
+    from pyspark.sql import functions as F
+
     src = str(tmp_path / "docs")
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(
         200
     ).write.parquet(src)
 
     def battery(df):
-        return W.gopher_quality(W.redact_pii(df)).join(
-            W.pii_metrics(df).select("doc_id", "has_pii"), "doc_id"
+        base = df.withColumn(
+            "url",
+            F.concat(
+                F.lit("HTTPS://WWW.Ex.ORG:443/d/"),
+                F.col("doc_id").cast("string"),
+                F.lit("/?utm_source=s#f"),
+            ),
+        )
+        return (
+            W.gopher_quality(W.redact_pii(base))
+            .join(W.pii_metrics(base).select("doc_id", "has_pii"), "doc_id")
+            .join(
+                base.select(
+                    "doc_id", W.canonical_url("url").alias("canonical_url")
+                ),
+                "doc_id",
+            )
         )
 
     batch_in = spark.read.parquet(src)

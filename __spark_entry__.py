@@ -1114,6 +1114,18 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(lined, max_df=20)
 
 
+def q_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus split by unigram-LM score percentile
+    (Wenzek et al. 2020 §3.3).  Cut points from one 1-row exact-percentile
+    aggregate broadcast back — the scoring plan plus a scalar agg, never a
+    global sort."""
+    from entity_resolution_pipeline_spark.operators.webtext import (
+        lm_quality_buckets,
+    )
+
+    return lm_quality_buckets(_read(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_groups": q_exact_dedup_groups,
@@ -1172,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "url_latest_capture": q_url_latest_capture,
         "line_dedup": q_line_dedup,
+        "lm_quality_buckets": q_lm_quality_buckets,
     }
 
 
@@ -2035,5 +2048,28 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(line, chr(10) ORDER BY pos) AS clean_text
             FROM ex WHERE line NOT IN (SELECT line FROM boiler)
             GROUP BY doc_id
+        """,
+        # quantile_cont == Spark's exact `percentile` (same linear
+        # interpolation); cut literals are the SAME Python floats the
+        # operator defaults to, cast ::DOUBLE (bare decimals are DECIMAL
+        # in DuckDB)
+        "lm_quality_buckets": f"""
+            WITH w AS (SELECT doc_id,
+                              unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+                       FROM documents WHERE length(trim(text)) > 0),
+            f AS (SELECT w, count(*) AS c FROM w GROUP BY 1),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM f),
+            p AS (SELECT w, ln(c / tot) AS lp FROM f CROSS JOIN tot),
+            sc AS (SELECT doc_id, count(*) AS n_tokens,
+                          round(avg(lp), 6) AS avg_logprob
+                   FROM w JOIN p USING (w) GROUP BY 1),
+            th AS (SELECT quantile_cont(avg_logprob,
+                     [{(1 / 3)!r}::DOUBLE, {(2 / 3)!r}::DOUBLE]) AS th
+                   FROM sc)
+            SELECT doc_id, n_tokens, avg_logprob,
+                   CASE WHEN avg_logprob < th[1] THEN 'tail'
+                        WHEN avg_logprob < th[2] THEN 'middle'
+                        ELSE 'head' END AS bucket
+            FROM sc CROSS JOIN th
         """,
     }

@@ -27,6 +27,9 @@ C4 (Raffel et al. 2020, §2.2) and CCNet (Wenzek et al. 2020) pipelines:
 * `dedup_lines`         — RefinedWeb/CCNet line-level boilerplate removal:
                           corpus line-frequency filter with ordered
                           reassembly.
+* `lm_quality_buckets`  — CCNet head/middle/tail split by LM-score
+                          percentile; cut points via one 1-row percentile
+                          agg + broadcast (no global sort).
 
 Scale notes (100 TB): every op is one or two shuffles on uniform keys.
 `gopher_quality` is shuffle-free (per-row exprs).  `repetition_metrics`
@@ -60,6 +63,7 @@ __all__ = [
     "canonical_url",
     "latest_capture",
     "dedup_lines",
+    "lm_quality_buckets",
 ]
 
 # PII regexes chosen to behave identically under Java regex (Spark) and RE2
@@ -590,4 +594,44 @@ def dedup_lines(
             ).alias(out_col),
         )
         .withColumnRenamed("_id", id_col)
+    )
+
+
+# ---------------------------------------------- CCNet quality bucketing
+
+def lm_quality_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cuts: tuple = (1 / 3, 2 / 3),
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §3.3): bucket
+    documents by their LM score percentile — here the corpus-unigram
+    `unigram_logprob` score (drop-in for a real LM perplexity column).
+
+    No global sort: the two cut points come from ONE 1-row exact-percentile
+    aggregate folded back via a broadcast crossJoin, so the plan is the
+    scoring plan plus a scalar agg — at 10^12 docs the common ntile/window
+    formulation would globally sort the corpus; this never does.
+    Comparisons are strict-< against the interpolated thresholds on the
+    6dp-rounded scores (identical classification in the DuckDB oracle,
+    which uses quantile_cont — the same linear interpolation).  Zero-token
+    documents carry no score and are excluded (as in CCNet, which scores
+    only tokenizable text).
+    """
+    scored = unigram_logprob(docs, id_col=id_col, text_col=text_col)
+    th = scored.agg(
+        F.percentile("avg_logprob", F.lit(list(cuts))).alias("th")
+    )
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .select(
+            id_col,
+            "n_tokens",
+            "avg_logprob",
+            F.when(F.col("avg_logprob") < F.col("th")[0], "tail")
+            .when(F.col("avg_logprob") < F.col("th")[1], "middle")
+            .otherwise("head")
+            .alias("bucket"),
+        )
     )

@@ -441,6 +441,41 @@ def test_dedup_lines_keeps_at_threshold_and_orders_multiline(spark):
     assert out[1]["clean_text"] == "q\nr"
 
 
+def test_lm_quality_buckets_hand_computed(spark):
+    # corpus: a a b | b | c  ->  P(a)=P(b)=2/5, P(c)=1/5
+    # scores: doc0 = doc1 = ln .4, doc2 = ln .2 ; thresholds at the exact
+    # 1/3 and 2/3 interpolated percentiles -> doc2 tail, doc0/doc1 head
+    # (strict-< vs th2 == their own score).  Empty doc carries no score.
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in W.lm_quality_buckets(_docs(spark, ["a a b", "b", "c", ""]))
+        .collect()
+    }
+    assert out == {0: "head", 1: "head", 2: "tail"}
+
+
+def test_lm_quality_buckets_duckdb_parity_small(spark):
+    import duckdb
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    sdf = E.queries()["lm_quality_buckets"](spark, sf).toPandas()
+    odf = con.sql(E.oracle_sql()["lm_quality_buckets"]).df()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns)
+    s = sdf[cols].sort_values(cols).reset_index(drop=True)
+    o = odf[cols].sort_values(cols).reset_index(drop=True).astype(s.dtypes.to_dict())
+    assert len(s) == len(o)
+    for c in cols:
+        if s[c].dtype.kind == "f":
+            assert (s[c].round(6) == o[c].round(6)).all(), c
+        else:
+            assert (s[c] == o[c]).all(), c
+
+
 def test_url_line_queries_duckdb_parity_small(spark):
     """Value parity for the two new contract queries at sf0.001 (the driver
     re-checks at sf0.01)."""

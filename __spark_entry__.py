@@ -1126,6 +1126,73 @@ def q_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_quality_buckets(_read(spark, sf_dir, "documents"))
 
 
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2021): every 8-token span whose
+    exact text occurs >=2 times corpus-wide is excised from every document.
+    Gram rows carry only (id, pos, 16-hex-char hash); one map-side-combined
+    count + one LEFT SEMI join; excision is per-row JVM lambdas."""
+    from entity_resolution_pipeline_spark.operators.webtext import (
+        remove_dup_spans,
+    )
+
+    return remove_dup_spans(
+        _read(spark, sf_dir, "documents"), k=8, min_count=2
+    )
+
+
+def _capture_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic capture URLs over 5 hosts (doc_id % 5) with SQL-
+    expressible noise (scheme case is already lowered by host_of; one host
+    carries www + a port) so the DuckDB oracle rebuilds the identical
+    input."""
+    five = F.col("doc_id") % 5
+    host = (
+        F.when(five == 0, "ads.tracker.example.com")
+        .when(five == 1, "tracker.example.com")
+        .when(five == 2, "news.example.org")
+        .when(five == 3, "www.blog.example.net:8080")
+        .otherwise("cdn.media.example.io")
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+    )
+
+
+def q_domain_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style URL blocklist over synthesized capture URLs: host extraction
+    (userinfo/port/www stripped) + parent-domain suffix matching — blocking
+    tracker.example.com must also catch ads.tracker.example.com.  Pure JVM
+    row exprs + one tiny hash agg."""
+    from entity_resolution_pipeline_spark.operators.webtext import (
+        blocklist_filter,
+    )
+
+    raw = _capture_urls(_read(spark, sf_dir, "documents"))
+    flagged = blocklist_filter(
+        raw, blocked=["tracker.example.com", "media.example.io"]
+    )
+    return flagged.groupBy("host", "blocked").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def q_badword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 §2.2 bad-word page filter at token granularity (the list here is
+    mid-frequency corpus vocabulary so the split is non-trivial at every
+    SF).  Shuffle-free: tokenize + array filter per row, all JVM."""
+    from entity_resolution_pipeline_spark.operators.webtext import (
+        badwords_filter,
+    )
+
+    return badwords_filter(
+        _read(spark, sf_dir, "documents"),
+        words=["slow", "merge", "vector", "spill"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_groups": q_exact_dedup_groups,
@@ -1185,6 +1252,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_latest_capture": q_url_latest_capture,
         "line_dedup": q_line_dedup,
         "lm_quality_buckets": q_lm_quality_buckets,
+        "remove_dup_spans": q_remove_dup_spans,
+        "domain_block_stats": q_domain_block_stats,
+        "badword_filter": q_badword_filter,
     }
 
 
@@ -2071,5 +2141,88 @@ def oracle_sql() -> dict[str, str]:
                         WHEN avg_logprob < th[2] THEN 'middle'
                         ELSE 'head' END AS bucket
             FROM sc CROSS JOIN th
+        """,
+        # same 16-hex-char md5 span key as the operator; range() is
+        # end-exclusive so range(1, n-k+2) == starts 1..n-k+1; DuckDB list
+        # slicing toks[a:b] is 1-based inclusive like Spark's slice(a, k)
+        "remove_dup_spans": """
+            WITH t AS (SELECT doc_id,
+                         CASE WHEN length(trim(coalesce(text,''))) = 0
+                              THEN []::VARCHAR[]
+                              ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+                         END AS toks
+                       FROM documents),
+            b AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+            g0 AS (SELECT doc_id, toks, unnest(range(1, n - 8 + 2)) AS pos
+                   FROM b WHERE n >= 8),
+            g AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+                         substr(md5(array_to_string(toks[pos : pos + 7], ' ')), 1, 16) AS h
+                  FROM g0),
+            d AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+            cov AS (SELECT DISTINCT g.doc_id, g.pos + o.o AS p
+                    FROM g JOIN d USING (h), range(0, 8) o(o)),
+            px AS (SELECT doc_id, unnest(toks) AS tok,
+                          generate_subscripts(toks, 1) AS p FROM b),
+            keep AS (SELECT px.doc_id, px.p, px.tok
+                     FROM px LEFT JOIN cov
+                       ON cov.doc_id = px.doc_id AND cov.p = px.p
+                     WHERE cov.doc_id IS NULL),
+            agg AS (SELECT doc_id, count(*) AS n_kept,
+                           string_agg(tok, ' ' ORDER BY p) AS clean_text
+                    FROM keep GROUP BY doc_id)
+            SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+                   CAST(b.n - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+                   coalesce(agg.clean_text, '') AS clean_text
+            FROM b LEFT JOIN agg USING (doc_id)
+        """,
+        # host extraction replays the operator's exact regexp chain (Java
+        # and RE2 agree: no lookaround/backrefs); suffix match is equality
+        # OR LIKE '%.<entry>'
+        "domain_block_stats": """
+            WITH raw AS (SELECT doc_id,
+                     'https://' ||
+                     CASE doc_id % 5
+                          WHEN 0 THEN 'ads.tracker.example.com'
+                          WHEN 1 THEN 'tracker.example.com'
+                          WHEN 2 THEN 'news.example.org'
+                          WHEN 3 THEN 'www.blog.example.net:8080'
+                          ELSE 'cdn.media.example.io' END ||
+                     '/p/' || CAST(doc_id AS VARCHAR) AS url
+                   FROM documents),
+            h AS (SELECT doc_id,
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_extract(lower(url),
+                            '^[a-z][a-z0-9+.\\-]*://([^/?#]+)', 1),
+                          '^[^@]*@', ''),
+                        ':[0-9]+$', ''),
+                      '^www\\.', '') AS host
+                  FROM raw),
+            f AS (SELECT host,
+                    CASE WHEN host = 'tracker.example.com'
+                           OR host LIKE '%.tracker.example.com'
+                           OR host = 'media.example.io'
+                           OR host LIKE '%.media.example.io'
+                         THEN 1 ELSE 0 END AS blocked
+                  FROM h)
+            SELECT host, blocked, count(*) AS n_docs
+            FROM f GROUP BY 1, 2
+        """,
+        "badword_filter": """
+            WITH t AS (SELECT doc_id,
+                         CASE WHEN length(trim(coalesce(text,''))) = 0
+                              THEN []::VARCHAR[]
+                              ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+                         END AS toks
+                       FROM documents),
+            c AS (SELECT doc_id,
+                         len(list_filter(toks,
+                             x -> x IN ('slow', 'merge', 'vector', 'spill')))
+                           AS n_bad
+                  FROM t)
+            SELECT doc_id, CAST(n_bad AS BIGINT) AS n_bad,
+                   CASE WHEN n_bad = 0 THEN 1 ELSE 0 END AS kept
+            FROM c
         """,
     }

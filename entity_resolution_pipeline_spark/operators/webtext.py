@@ -30,6 +30,16 @@ C4 (Raffel et al. 2020, §2.2) and CCNet (Wenzek et al. 2020) pipelines:
 * `lm_quality_buckets`  — CCNet head/middle/tail split by LM-score
                           percentile; cut points via one 1-row percentile
                           agg + broadcast (no global sort).
+* `remove_dup_spans`    — exact-substring dedup (Lee et al. 2021,
+                          "Deduplicating Training Data Makes Language
+                          Models Better"), re-expressed relationally:
+                          corpus-frequent k-token spans located by one
+                          gram-hash count + semi-join, excised in-place.
+* `host_of` /
+  `blocklist_filter`    — C4-style URL blocklist: host extraction + parent-
+                          domain suffix matching, pure JVM expressions.
+* `badwords_filter`     — C4 §2.2 "bad word" page filter: token-membership
+                          flag + occurrence count, shuffle-free.
 
 Scale notes (100 TB): every op is one or two shuffles on uniform keys.
 `gopher_quality` is shuffle-free (per-row exprs).  `repetition_metrics`
@@ -64,6 +74,10 @@ __all__ = [
     "latest_capture",
     "dedup_lines",
     "lm_quality_buckets",
+    "remove_dup_spans",
+    "host_of",
+    "blocklist_filter",
+    "badwords_filter",
 ]
 
 # PII regexes chosen to behave identically under Java regex (Spark) and RE2
@@ -634,4 +648,145 @@ def lm_quality_buckets(
             .otherwise("head")
             .alias("bucket"),
         )
+    )
+
+
+# ---------------------------------------- exact-substring (span) dedup
+
+def remove_dup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2021 §3.1) re-expressed
+    relationally: any k-token span whose exact text occurs >= `min_count`
+    times across the corpus (suffix-array duplicates in the paper) is
+    excised from every document; tokens covered by at least one duplicated
+    span are dropped and the survivors re-joined in order.
+
+    Returns (id, n_tokens, n_removed, clean_text).
+
+    Physical plan — the shape that survives 100 TB:
+    1. gram rows carry ONLY (id, pos, 64-bit hex of the span) — document
+       text never rides the shuffle; the hash is the first 16 md5 hex chars
+       so the DuckDB oracle reproduces it bit-for-bit (xxhash64 would be
+       Spark-only).
+    2. one map-side-combined count over the gram hash (uniform key), then a
+       LEFT SEMI join of grams against the >=min_count hashes — semi-join
+       output is bounded by the gram table, and AQE skew-split handles the
+       boilerplate mega-gram (one phrase shared by 10^8 pages) that a plain
+       inner join would funnel to one reducer.
+    3. duplicated start positions fold back per document as ONE array
+       (collect_set after the semi-join); span coverage + token excision are
+       per-row JVM lambda expressions (exists over the starts array) — no
+       per-token shuffle, no Python.
+    Reconstruction is per-row O(n_tokens x n_dup_spans) with both factors
+    page-bounded; the relational work is two shuffles of slim rows.
+    """
+    base = docs.select(
+        F.col(id_col).alias("_id"), _tokens(text_col).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    grams = base.where(F.col("n") >= k).select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - (k - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.slice("toks", i, k))), 1, 16
+                    ).alias("h"),
+                ),
+            )
+        ).alias("g"),
+    ).select("_id", "g.pos", "g.h")
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("h")
+    )
+    starts = (
+        grams.join(dup, "h", "left_semi")
+        .groupBy("_id")
+        .agg(F.collect_set("pos").alias("starts"))
+    )
+    sts = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(
+            F.col("toks"),
+            lambda x, i: F.struct((i + 1).alias("p"), x.alias("t")),
+        ),
+        lambda s: ~F.exists(
+            sts, lambda st: (s["p"] >= st) & (s["p"] <= st + F.lit(k - 1))
+        ),
+    )
+    return (
+        base.join(starts, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n").cast("long").alias("n_tokens"),
+            (F.col("n") - F.size(kept)).cast("long").alias("n_removed"),
+            F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias(
+                "clean_text"
+            ),
+        )
+    )
+
+
+# ------------------------------------------- URL blocklist / bad words
+
+def host_of(url_col) -> F.Column:
+    """Lowercase host of a URL: scheme/userinfo/port stripped, one leading
+    'www.' removed.  Pure JVM regexp chain, identical under RE2 (DuckDB) —
+    no lookaround, no backreferences."""
+    u = F.lower(url_col if not isinstance(url_col, str) else F.col(url_col))
+    host = F.regexp_extract(u, r"^[a-z][a-z0-9+.\-]*://([^/?#]+)", 1)
+    host = F.regexp_replace(host, r"^[^@]*@", "")   # userinfo
+    host = F.regexp_replace(host, r":\d+$", "")      # port
+    return F.regexp_replace(host, r"^www\.", "").alias("host")
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocked: list,
+    url_col: str = "url",
+    keep: bool = False,
+) -> DataFrame:
+    """C4-style URL blocklist: a page is blocked when its host equals a
+    blocklist entry OR is a subdomain of one (suffix match on '.entry').
+    Adds `host` and `blocked` (0/1); `keep=True` additionally drops blocked
+    rows.  Shuffle-free — the blocklist compiles into a per-row OR chain
+    (blocklists are O(10^5): for larger lists switch to a broadcast join on
+    a suffix-normalized key)."""
+    host = host_of(url_col)
+    cond = F.lit(False)
+    for b in blocked:
+        b = b.lower()
+        cond = cond | (host == b) | host.endswith("." + b)
+    out = df.withColumn("host", host).withColumn(
+        "blocked", cond.cast("int")
+    )
+    return out.where(F.col("blocked") == 0) if keep else out
+
+
+def badwords_filter(
+    docs: DataFrame,
+    words: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4 §2.2 'bad word' page filter at token granularity: count
+    occurrences of blocklisted tokens and flag pages containing any.
+    Returns (id, n_bad, kept).  Shuffle-free: one lowercase tokenize + one
+    array filter per row, all JVM (the word list compiles to an In
+    expression — fine for the O(10^3) lists used in practice)."""
+    wl = [w.lower() for w in words]
+    bad = F.filter(_tokens(text_col), lambda t: t.isin(wl))
+    return docs.select(
+        F.col(id_col),
+        F.size(bad).cast("long").alias("n_bad"),
+        (F.size(bad) == 0).cast("int").alias("kept"),
     )

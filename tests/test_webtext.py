@@ -476,6 +476,87 @@ def test_lm_quality_buckets_duckdb_parity_small(spark):
             assert (s[c] == o[c]).all(), c
 
 
+def test_remove_dup_spans_cross_doc(spark):
+    # docs 0/1 share the exact 8-token span "one..eight" at different
+    # offsets; every token covered by the span is excised in BOTH docs
+    span = "one two three four five six seven eight"
+    out = {
+        r["doc_id"]: r
+        for r in W.remove_dup_spans(
+            _docs(spark, [span + " alpha beta", "zzz " + span, "hello world", ""]),
+            k=8,
+        ).collect()
+    }
+    assert (out[0]["n_tokens"], out[0]["n_removed"]) == (10, 8)
+    assert out[0]["clean_text"] == "alpha beta"
+    assert (out[1]["n_tokens"], out[1]["n_removed"]) == (9, 8)
+    assert out[1]["clean_text"] == "zzz"
+    # shorter than k: untouched; empty: zero row survives
+    assert (out[2]["n_removed"], out[2]["clean_text"]) == (0, "hello world")
+    assert (out[3]["n_tokens"], out[3]["clean_text"]) == (0, "")
+
+
+def test_remove_dup_spans_within_doc_repetition(spark):
+    # the SAME doc repeating a span twice counts toward min_count=2
+    # (Lee et al. count total occurrences, not distinct docs)
+    span = "q1 q2 q3 q4 q5 q6 q7 q8"
+    row = W.remove_dup_spans(_docs(spark, [span + " " + span]), k=8).collect()[0]
+    assert (row["n_tokens"], row["n_removed"], row["clean_text"]) == (16, 16, "")
+
+
+def test_host_of_and_blocklist(spark):
+    rows = spark.createDataFrame(
+        [
+            (0, "HTTPS://user:pw@WWW.Tracker.Example.COM:443/x?y#z"),
+            (1, "http://ads.tracker.example.com/p"),
+            (2, "https://news.example.org/a"),
+            (3, "https://www.blog.example.net:8080/b"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in W.blocklist_filter(rows, ["tracker.example.com"]).collect()
+    }
+    assert out[0]["host"] == "tracker.example.com" and out[0]["blocked"] == 1
+    assert out[1]["host"] == "ads.tracker.example.com" and out[1]["blocked"] == 1
+    assert out[2]["blocked"] == 0
+    assert out[3]["host"] == "blog.example.net" and out[3]["blocked"] == 0
+    kept = W.blocklist_filter(rows, ["tracker.example.com"], keep=True)
+    assert {r["doc_id"] for r in kept.collect()} == {2, 3}
+
+
+def test_badwords_filter_counts_occurrences(spark):
+    out = {
+        r["doc_id"]: r
+        for r in W.badwords_filter(
+            _docs(spark, ["Spam and SPAM again", "clean text", ""]),
+            words=["spam"],
+        ).collect()
+    }
+    assert (out[0]["n_bad"], out[0]["kept"]) == (2, 0)
+    assert (out[1]["n_bad"], out[1]["kept"]) == (0, 1)
+    assert (out[2]["n_bad"], out[2]["kept"]) == (0, 1)
+
+
+def test_span_domain_badword_queries_duckdb_parity_small(spark):
+    import duckdb
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    for name in ("remove_dup_spans", "domain_block_stats", "badword_filter"):
+        sdf = E.queries()[name](spark, sf).toPandas()
+        odf = con.sql(E.oracle_sql()[name]).df()
+        cols = sorted(sdf.columns)
+        assert cols == sorted(odf.columns), name
+        s = sdf[cols].sort_values(cols).reset_index(drop=True)
+        o = odf[cols].sort_values(cols).reset_index(drop=True)
+        assert len(s) == len(o) and s.equals(o.astype(s.dtypes.to_dict())), name
+
+
 def test_url_line_queries_duckdb_parity_small(spark):
     """Value parity for the two new contract queries at sf0.001 (the driver
     re-checks at sf0.01)."""

@@ -54,6 +54,9 @@ HEADLINE = [
     # late-r2 additions (set grew 15 → 17):
     "url_latest_capture",
     "line_dedup",
+    # late-r2 additions (set grew 17 → 19):
+    "lm_quality_buckets",
+    "remove_dup_spans",
 ]
 
 

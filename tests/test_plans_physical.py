@@ -104,3 +104,25 @@ def test_levenshtein_is_jvm_codegen(spark):
     lp = gt.select(F.col("left").alias("left_id"), F.col("right").alias("right_id"), "match")
     feats = PL.featurize_pairs(lp, prep, DEFAULT_CONFIG)
     assert "levenshtein" in _plan(feats)
+
+
+def test_lm_quality_buckets_never_sorts_globally(spark, entry_mod):
+    """The CCNet split's cut points come from a 1-row percentile agg, not a
+    window/ntile — the plan must contain NO range partitioning (global
+    sort) and NO Window; the threshold side folds back as a broadcast."""
+    df = entry_mod.queries()["lm_quality_buckets"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_remove_dup_spans_semi_join_and_pruned_grams(spark, entry_mod):
+    """Exact-substring dedup: the duplicate-hash probe must be a LEFT SEMI
+    join (gram rows are never multiplied by match count), and the gram-side
+    scan must read only (doc_id, text)."""
+    df = entry_mod.queries()["remove_dup_spans"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "LeftSemi" in plan, plan
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "lang" not in scan and "n_chars" not in scan, scan

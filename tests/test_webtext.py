@@ -249,9 +249,10 @@ def test_decontaminate_duplicate_grams_count_once(spark):
 
 def test_curation_battery_streaming_batch_parity(spark, tmp_path):
     """The stateless curation ops (gopher_quality, pii_metrics, redact_pii,
-    canonical_url) are plain projections, so the SAME operator call composes
-    with Structured Streaming unchanged — pin bit-equality between a batch
-    run and an availableNow streaming run over the same parquet source."""
+    canonical_url, badwords_filter, blocklist_filter) are plain projections,
+    so the SAME operator call composes with Structured Streaming unchanged —
+    pin bit-equality between a batch run and an availableNow streaming run
+    over the same parquet source."""
     from pyspark.sql import functions as F
 
     src = str(tmp_path / "docs")
@@ -275,6 +276,12 @@ def test_curation_battery_streaming_batch_parity(spark, tmp_path):
                 base.select(
                     "doc_id", W.canonical_url("url").alias("canonical_url")
                 ),
+                "doc_id",
+            )
+            .join(W.badwords_filter(base, ["the", "data"]), "doc_id")
+            .join(
+                W.blocklist_filter(base.select("doc_id", "url"), ["ex.org"])
+                .select("doc_id", "host", "blocked"),
                 "doc_id",
             )
         )

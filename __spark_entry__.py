@@ -983,6 +983,18 @@ def q_fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_dedup(_read(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def q_fuzzy_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuzzy_dedup with the Dolma/RedPajama 'keep best, not first' policy:
+    the cluster representative is the member with the largest n_chars
+    (min-id on ties) instead of the min id — per-cluster max agg + equality
+    filter + min-id agg, no window."""
+    from entity_resolution_pipeline_spark.operators.webtext import fuzzy_dedup
+
+    return fuzzy_dedup(
+        _read(spark, sf_dir, "documents"), threshold=0.5, keep_col="n_chars"
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 §C / Llama recipe): corpus docs
     sharing word 4-grams with a deterministic held-out 'benchmark' slice
@@ -1245,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": q_repetition_metrics,
         "unigram_logprob": q_unigram_logprob,
         "fuzzy_dedup_corpus": q_fuzzy_dedup_corpus,
+        "fuzzy_dedup_keep_best": q_fuzzy_dedup_keep_best,
         "pii_scan": q_pii_scan,
         "decontaminate": q_decontaminate,
         "domain_mixture_sample": q_domain_mixture_sample,
@@ -1307,6 +1320,32 @@ def _pii_scan_sql(table: str = "documents") -> str:
                        AS docs_changed
             FROM m GROUP BY 1
         """
+
+
+def _fuzzy_cc_cte() -> str:
+    """Shared WITH RECURSIVE prefix for the fuzzy-dedup oracles: exact
+    5-byte-shingle Jaccard pairs at 0.5 (the LSH config's exact ground
+    truth at this threshold) + transitive closure -> comp(id, root)."""
+    return f"""
+            WITH RECURSIVE
+            s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),
+            sh AS (SELECT DISTINCT doc_id, {_poly_terms_sql(5)} AS h
+                   FROM s, unnest(generate_series(1, length(s)-4)) t(i)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            common AS (SELECT a.doc_id l, b.doc_id r, count(*) c
+                       FROM sh a JOIN sh b USING (h)
+                       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            pairs AS (SELECT CAST(l AS VARCHAR) a, CAST(r AS VARCHAR) b
+                      FROM common JOIN sizes sa ON sa.doc_id = l
+                                  JOIN sizes sb ON sb.doc_id = r
+                      WHERE c / (sa.sz + sb.sz - c) >= 0.5),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            walk(id, reach) AS (
+              SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+              UNION
+              SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.reach),
+            comp AS (SELECT id, min(reach) AS root FROM walk GROUP BY id)
+    """
 
 
 def _poly_terms_sql(k: int) -> str:
@@ -1992,29 +2031,29 @@ def oracle_sql() -> dict[str, str]:
             FROM w JOIN p USING (w) GROUP BY 1
         """,
         "fuzzy_dedup_corpus": f"""
-            WITH RECURSIVE
-            s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),
-            sh AS (SELECT DISTINCT doc_id, {_poly_terms_sql(5)} AS h
-                   FROM s, unnest(generate_series(1, length(s)-4)) t(i)),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-            common AS (SELECT a.doc_id l, b.doc_id r, count(*) c
-                       FROM sh a JOIN sh b USING (h)
-                       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-            pairs AS (SELECT CAST(l AS VARCHAR) a, CAST(r AS VARCHAR) b
-                      FROM common JOIN sizes sa ON sa.doc_id = l
-                                  JOIN sizes sb ON sb.doc_id = r
-                      WHERE c / (sa.sz + sb.sz - c) >= 0.5),
-            edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
-            walk(id, reach) AS (
-              SELECT a, a FROM (SELECT DISTINCT a FROM edges)
-              UNION
-              SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.reach),
-            comp AS (SELECT id, min(reach) AS root FROM walk GROUP BY id)
+            {_fuzzy_cc_cte()}
             SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
                    coalesce(c.root, CAST(d.doc_id AS VARCHAR)) AS cluster_root,
                    CAST(coalesce(c.root, CAST(d.doc_id AS VARCHAR))
                         = CAST(d.doc_id AS VARCHAR) AS INT) AS kept
             FROM documents d LEFT JOIN comp c ON c.id = CAST(d.doc_id AS VARCHAR)
+        """,
+        # same CC closure; representative = max n_chars, min VARCHAR id on
+        # ties (exact integer comparison — no float-equality trap)
+        "fuzzy_dedup_keep_best": f"""
+            {_fuzzy_cc_cte()},
+            mem AS (SELECT CAST(d.doc_id AS VARCHAR) AS id,
+                           coalesce(c.root, CAST(d.doc_id AS VARCHAR)) AS cluster_root,
+                           d.n_chars
+                    FROM documents d
+                    LEFT JOIN comp c ON c.id = CAST(d.doc_id AS VARCHAR)),
+            mx AS (SELECT cluster_root, max(n_chars) AS mx FROM mem GROUP BY 1),
+            rep AS (SELECT m.cluster_root, min(m.id) AS rep
+                    FROM mem m JOIN mx USING (cluster_root)
+                    WHERE m.n_chars = mx.mx GROUP BY 1)
+            SELECT m.id AS doc_id, m.cluster_root,
+                   CAST(m.id = r.rep AS INT) AS kept
+            FROM mem m JOIN rep r USING (cluster_root)
         """,
         "pii_scan": _pii_scan_sql(),
         "decontaminate": r"""

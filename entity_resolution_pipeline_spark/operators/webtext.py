@@ -449,12 +449,21 @@ def fuzzy_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    keep_col: str | None = None,
 ) -> DataFrame:
     """End-to-end MinHash fuzzy dedup (the Dolma/RedPajama recipe): banded
     LSH near-dup pairs at `threshold` (dedup.minhash_lsh_pairs — signatures
     once, ids-only band join, estimate prefilter, exact-Jaccard verify) →
     large-star/small-star connected components over the match graph →
-    canonical representative = minimum id per cluster.
+    canonical representative per cluster.
+
+    Representative selection: minimum id (default), or — when `keep_col`
+    names an exactly-comparable quality column (token count, Gopher score,
+    n_chars) — the HIGHEST-quality member, min-id on ties (the
+    Dolma/RedPajama "keep best, not first" policy).  Best-of is computed as
+    a per-cluster max agg + an equality filter + a min-id agg — two hash
+    aggs on the uniform cluster key, deterministic in any engine, no
+    window.
 
     Returns one row per input document: (id, cluster_root, kept) with
     kept=1 iff the document IS its cluster's representative — the rows a
@@ -473,15 +482,36 @@ def fuzzy_dedup(
     )
     assignments = connected_components(pairs)
     ids = docs.select(F.col(id_col).cast("string").alias("entity_id"))
-    return (
-        ids.join(assignments, "entity_id", "left")
-        .select(
+    base = ids.join(assignments, "entity_id", "left").select(
+        "entity_id",
+        F.coalesce("root", F.col("entity_id")).alias("cluster_root"),
+    )
+    if keep_col is None:
+        return base.select(
             F.col("entity_id").alias(id_col),
-            F.coalesce("root", F.col("entity_id")).alias("cluster_root"),
-            (F.coalesce("root", F.col("entity_id")) == F.col("entity_id"))
+            "cluster_root",
+            (F.col("cluster_root") == F.col("entity_id"))
             .cast("int")
             .alias("kept"),
         )
+    scored = base.join(
+        docs.select(
+            F.col(id_col).cast("string").alias("entity_id"), F.col(keep_col)
+        ),
+        "entity_id",
+    )
+    best = (
+        scored.groupBy("cluster_root")
+        .agg(F.max(keep_col).alias("_mx"))
+        .join(scored, "cluster_root")
+        .where(F.col(keep_col) == F.col("_mx"))
+        .groupBy("cluster_root")
+        .agg(F.min("entity_id").alias("_rep"))
+    )
+    return scored.join(best, "cluster_root").select(
+        F.col("entity_id").alias(id_col),
+        "cluster_root",
+        (F.col("entity_id") == F.col("_rep")).cast("int").alias("kept"),
     )
 
 

@@ -133,6 +133,29 @@ def test_fuzzy_dedup_keeps_min_id_per_cluster(spark):
     assert rows["3"]["kept"] == 1 and rows["3"]["cluster_root"] == "3"
 
 
+def test_fuzzy_dedup_keep_best_picks_highest_quality(spark):
+    # doc2 is the LONGEST member of the {0,1,2} near-dup cluster, so with
+    # keep_col it becomes the representative instead of min-id 0; ties
+    # (docs 0 and 1 are byte-identical) break toward the smaller id when
+    # the longer doc is absent
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = [base, base, base + " extra", "completely different content here now"]
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, texts).withColumn("score", F.length("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in W.fuzzy_dedup(docs, keep_col="score").collect()
+    }
+    assert rows["2"]["kept"] == 1 and rows["2"]["cluster_root"] == "0"
+    assert rows["0"]["kept"] == 0 and rows["1"]["kept"] == 0
+    assert rows["3"]["kept"] == 1
+    # tie case: identical docs only -> min id among the tied maxima
+    tied = _docs(spark, [base, base]).withColumn("score", F.length("text"))
+    rows = {r["doc_id"]: r for r in W.fuzzy_dedup(tied, keep_col="score").collect()}
+    assert rows["0"]["kept"] == 1 and rows["1"]["kept"] == 0
+
+
 def test_fuzzy_dedup_all_unique_keeps_everything(spark):
     # genuinely disjoint at the character-shingle level — a shared sentence
     # template would itself push Jaccard past the threshold

@@ -1191,6 +1191,46 @@ def q_domain_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Funnel input shaping (SQL-expressible so the oracle rebuilds it): every
+# page gets the site footer (11 tokens — its 4 internal 8-grams cover all
+# 11, so span-dedup excises exactly the footer from every survivor), and
+# doc_id % 13 == 1 pages are replaced by a fixed 56-token mirrored page
+# (full-page duplicates: every 8-gram corpus-frequent -> wiped to '' by
+# span-dedup, then collapsed to ONE representative by exact dedup).
+_FUNNEL_PAGE = (
+    "this page is a mirrored copy of the original article kept here for "
+    "offline reading and research use the mirror refreshes once a week and "
+    "keeps the layout of the source intact so readers can cite the exact "
+    "wording of the first publication without visiting the live site today"
+)
+_FUNNEL_FOOTER = "all rights reserved contact the site help desk for more info"
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline as ONE plan — per-stage survival
+    funnel (RefinedWeb Fig. 2 shape): raw → Gopher gate → bad-word filter
+    ('dup', 5% doc-frequency here) → exact-substring span excision → exact
+    dedup of cleaned text.  Input pages carry a universal footer and an
+    8%-rate mirrored-page duplicate so every stage removes something; each
+    stage's doc+token counts are value-checked against the DuckDB replay of
+    the identical chain."""
+    from entity_resolution_pipeline_spark.operators.webtext import (
+        curation_funnel,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    prepped = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 13 == 1, F.lit(_FUNNEL_PAGE)).otherwise(
+                F.coalesce(F.col("text"), F.lit(""))
+            ),
+            F.lit(" " + _FUNNEL_FOOTER),
+        ).alias("text"),
+    )
+    return curation_funnel(prepped, badwords=("dup",), k=8, min_count=2)
+
+
 def q_badword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 §2.2 bad-word page filter at token granularity (the list here is
     mid-frequency corpus vocabulary so the split is non-trivial at every
@@ -1268,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_dup_spans": q_remove_dup_spans,
         "domain_block_stats": q_domain_block_stats,
         "badword_filter": q_badword_filter,
+        "curation_funnel": q_curation_funnel,
     }
 
 
@@ -2247,6 +2288,72 @@ def oracle_sql() -> dict[str, str]:
                   FROM h)
             SELECT host, blocked, count(*) AS n_docs
             FROM f GROUP BY 1, 2
+        """,
+        # replay of the composed funnel: gopher flags exactly as in the
+        # gopher_quality oracle, badword 'dup', then the remove_dup_spans
+        # machinery restricted to the survivor set (corpus-frequency dedup
+        # runs AFTER the filters, as in the operator)
+        "curation_funnel": f"""
+            WITH t0 AS (SELECT doc_id,
+                          lower(trim(
+                            (CASE WHEN doc_id % 13 = 1 THEN '{_FUNNEL_PAGE}'
+                                  ELSE coalesce(text, '') END)
+                            || ' {_FUNNEL_FOOTER}')) AS s
+                        FROM documents),
+            b AS (SELECT doc_id,
+                         CASE WHEN length(s) = 0 THEN CAST([] AS VARCHAR[])
+                              ELSE regexp_split_to_array(s, '\\s+') END AS toks
+                  FROM t0),
+            m AS (SELECT doc_id, toks, len(toks) AS n,
+                         coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS sum_len,
+                         len(list_filter(toks, w -> list_contains({_STOPWORDS_SQL}, w))) AS n_stop,
+                         len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+                         len(list_filter(toks, x -> x IN ('dup'))) AS n_bad
+                  FROM b),
+            surv1 AS (SELECT doc_id FROM m
+                      WHERE n BETWEEN 50 AND 100000
+                        AND sum_len / greatest(n, 1) BETWEEN 3.0::DOUBLE AND 10.0::DOUBLE
+                        AND n_stop >= 2
+                        AND n_alpha / greatest(n, 1) >= 0.8::DOUBLE),
+            surv2 AS (SELECT m.doc_id FROM m JOIN surv1 USING (doc_id)
+                      WHERE n_bad = 0),
+            b2 AS (SELECT m.doc_id, m.toks, m.n FROM m JOIN surv2 USING (doc_id)),
+            g0 AS (SELECT doc_id, toks, unnest(range(1, n - 8 + 2)) AS pos
+                   FROM b2 WHERE n >= 8),
+            g AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+                         substr(md5(array_to_string(toks[pos : pos + 7], ' ')), 1, 16) AS h
+                  FROM g0),
+            d AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+            cov AS (SELECT DISTINCT g.doc_id, g.pos + o.o AS p
+                    FROM g JOIN d USING (h), range(0, 8) o(o)),
+            px AS (SELECT doc_id, unnest(toks) AS tok,
+                          generate_subscripts(toks, 1) AS p FROM b2),
+            keep AS (SELECT px.doc_id, px.p, px.tok
+                     FROM px LEFT JOIN cov
+                       ON cov.doc_id = px.doc_id AND cov.p = px.p
+                     WHERE cov.doc_id IS NULL),
+            agg AS (SELECT doc_id, count(*) AS n_kept,
+                           string_agg(tok, ' ' ORDER BY p) AS clean_text
+                    FROM keep GROUP BY doc_id),
+            cleaned AS (SELECT b2.doc_id, coalesce(agg.n_kept, 0) AS ct,
+                               coalesce(agg.clean_text, '') AS clean_text
+                        FROM b2 LEFT JOIN agg USING (doc_id)),
+            reps AS (SELECT clean_text, min(ct) AS ct FROM cleaned GROUP BY 1)
+            SELECT 0 AS stage, 'raw' AS stage_name,
+                   count(*) AS n_docs, CAST(coalesce(sum(n), 0) AS BIGINT) AS n_tokens
+            FROM m
+            UNION ALL
+            SELECT 1, 'gopher', count(*), CAST(coalesce(sum(n), 0) AS BIGINT)
+            FROM m JOIN surv1 USING (doc_id)
+            UNION ALL
+            SELECT 2, 'badwords', count(*), CAST(coalesce(sum(n), 0) AS BIGINT)
+            FROM m JOIN surv2 USING (doc_id)
+            UNION ALL
+            SELECT 3, 'span_dedup', count(*), CAST(coalesce(sum(ct), 0) AS BIGINT)
+            FROM cleaned
+            UNION ALL
+            SELECT 4, 'exact_dedup', count(*), CAST(coalesce(sum(ct), 0) AS BIGINT)
+            FROM reps
         """,
         "badword_filter": """
             WITH t AS (SELECT doc_id,

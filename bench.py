@@ -57,6 +57,8 @@ HEADLINE = [
     # late-r2 additions (set grew 17 → 19):
     "lm_quality_buckets",
     "remove_dup_spans",
+    # composition flagship (19 → 20): the whole curation pipeline as one plan
+    "curation_funnel",
 ]
 
 

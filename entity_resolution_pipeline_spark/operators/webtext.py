@@ -40,6 +40,9 @@ C4 (Raffel et al. 2020, §2.2) and CCNet (Wenzek et al. 2020) pipelines:
                           domain suffix matching, pure JVM expressions.
 * `badwords_filter`     — C4 §2.2 "bad word" page filter: token-membership
                           flag + occurrence count, shuffle-free.
+* `curation_funnel`     — the composed pipeline as one plan, reported as
+                          the per-stage survival funnel the curation papers
+                          publish (RefinedWeb Fig. 2).
 
 Scale notes (100 TB): every op is one or two shuffles on uniform keys.
 `gopher_quality` is shuffle-free (per-row exprs).  `repetition_metrics`
@@ -78,6 +81,7 @@ __all__ = [
     "host_of",
     "blocklist_filter",
     "badwords_filter",
+    "curation_funnel",
 ]
 
 # PII regexes chosen to behave identically under Java regex (Spark) and RE2
@@ -819,4 +823,73 @@ def badwords_filter(
         F.col(id_col),
         F.size(bad).cast("long").alias("n_bad"),
         (F.size(bad) == 0).cast("int").alias("kept"),
+    )
+
+
+# --------------------------------------------- composed curation funnel
+
+def curation_funnel(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    badwords: tuple = (),
+    k: int = 8,
+    min_count: int = 2,
+    **gopher_kwargs,
+) -> DataFrame:
+    """The whole curation pipeline as ONE declarative plan, reported as the
+    per-stage survival funnel the curation papers publish (RefinedWeb
+    Fig. 2, Gopher Table A1): raw → Gopher quality gate → bad-word filter →
+    exact-substring span excision → exact dedup of the cleaned text.
+
+    Returns 5 rows: (stage, stage_name, n_docs, n_tokens) where n_tokens is
+    whitespace tokens surviving that stage (post-excision counts from stage
+    3 on).  Corpus-frequency stages (span dedup) run on the SURVIVOR set,
+    as in a real pipeline — filters change what counts as a duplicate.
+
+    Each stage is a 1-row aggregate over a successively filtered lineage;
+    Spark compiles the union into one plan with shared scan branches.  At
+    100 TB a caller materializes the stage-2 survivor set once (it feeds
+    three branches); the funnel itself adds only per-stage scalar aggs to
+    the battery's own cost.
+    """
+    n_tok = F.size(_tokens(text_col)).cast("long")
+
+    def _stage(df, i, name, tok_expr):
+        return df.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum(tok_expr), F.lit(0)).cast("long").alias("n_tokens"),
+        ).select(
+            F.lit(i).alias("stage"),
+            F.lit(name).alias("stage_name"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    passing = (
+        gopher_quality(docs, id_col=id_col, text_col=text_col, **gopher_kwargs)
+        .where(F.col("passes") == 1)
+        .select(id_col)
+    )
+    surv1 = docs.join(passing, id_col, "left_semi")
+    if badwords:
+        ok = (
+            badwords_filter(surv1, list(badwords), id_col=id_col, text_col=text_col)
+            .where(F.col("kept") == 1)
+            .select(id_col)
+        )
+        surv2 = surv1.join(ok, id_col, "left_semi")
+    else:
+        surv2 = surv1
+    cleaned = remove_dup_spans(
+        surv2, id_col=id_col, text_col=text_col, k=k, min_count=min_count
+    )
+    kept_tok = (F.col("n_tokens") - F.col("n_removed")).cast("long")
+    reps = cleaned.groupBy("clean_text").agg(F.min(kept_tok).alias("ct"))
+    return (
+        _stage(docs, 0, "raw", n_tok)
+        .unionAll(_stage(surv1, 1, "gopher", n_tok))
+        .unionAll(_stage(surv2, 2, "badwords", n_tok))
+        .unionAll(_stage(cleaned, 3, "span_dedup", kept_tok))
+        .unionAll(_stage(reps, 4, "exact_dedup", F.col("ct")))
     )

@@ -534,6 +534,42 @@ def test_remove_dup_spans_within_doc_repetition(spark):
     assert (row["n_tokens"], row["n_removed"], row["clean_text"]) == (16, 16, "")
 
 
+def test_remove_dup_spans_matches_python_reference(spark):
+    """Randomized cross-check on a tiny alphabet (forces heavy span overlap,
+    within-doc repeats, sub-k docs, empty docs) against an independent
+    pure-Python implementation of the spec."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(0)
+    alphabet = ["aa", "bb", "cc", "dd", "ee"]
+    texts = [
+        " ".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 13)))
+        for _ in range(60)
+    ]
+    k, mc = 4, 2
+
+    grams: Counter = Counter()
+    toks = [t.split() for t in texts]
+    for ts in toks:
+        for i in range(len(ts) - k + 1):
+            grams[tuple(ts[i : i + k])] += 1
+    expected = {}
+    for doc_id, ts in enumerate(toks):
+        covered: set = set()
+        for i in range(len(ts) - k + 1):
+            if grams[tuple(ts[i : i + k])] >= mc:
+                covered.update(range(i, i + k))
+        kept = [t for j, t in enumerate(ts) if j not in covered]
+        expected[doc_id] = (len(ts), len(ts) - len(kept), " ".join(kept))
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in W.remove_dup_spans(_docs(spark, texts), k=k, min_count=mc).collect()
+    }
+    assert got == expected
+
+
 def test_host_of_and_blocklist(spark):
     rows = spark.createDataFrame(
         [
@@ -567,6 +603,27 @@ def test_badwords_filter_counts_occurrences(spark):
     assert (out[0]["n_bad"], out[0]["kept"]) == (2, 0)
     assert (out[1]["n_bad"], out[1]["kept"]) == (0, 1)
     assert (out[2]["n_bad"], out[2]["kept"]) == (0, 1)
+
+
+def test_curation_funnel_hand_computed(spark):
+    # A and B are identical 60-token pages (pass Gopher), C passes Gopher
+    # but carries the badword, D is too short.  Span dedup (k=8) wipes the
+    # identical survivors A/B entirely; exact dedup collapses their empty
+    # cleaned texts into one representative.
+    sent = "the quick brown fox jumps over a lazy dog today "
+    a = (sent * 6).strip()
+    texts = [a, a, a + " bad", "too short"]
+    rows = {
+        (r["stage"], r["stage_name"]): (r["n_docs"], r["n_tokens"])
+        for r in W.curation_funnel(
+            _docs(spark, texts), badwords=("bad",)
+        ).collect()
+    }
+    assert rows[(0, "raw")] == (4, 183)
+    assert rows[(1, "gopher")] == (3, 181)
+    assert rows[(2, "badwords")] == (2, 120)
+    assert rows[(3, "span_dedup")] == (2, 0)
+    assert rows[(4, "exact_dedup")] == (1, 0)
 
 
 def test_span_domain_badword_queries_duckdb_parity_small(spark):

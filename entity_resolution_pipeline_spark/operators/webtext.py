@@ -658,9 +658,12 @@ def lm_quality_buckets(
     `unigram_logprob` score (drop-in for a real LM perplexity column).
 
     No global sort: the two cut points come from ONE 1-row exact-percentile
-    aggregate folded back via a broadcast crossJoin, so the plan is the
-    scoring plan plus a scalar agg — at 10^12 docs the common ntile/window
-    formulation would globally sort the corpus; this never does.
+    aggregate folded back via a broadcast crossJoin — at 10^12 docs the
+    common ntile/window formulation would globally sort the corpus; this
+    never does.  The scoring lineage is evaluated twice (threshold agg +
+    bucketing side); at corpus scale persist the scored table across the
+    two consumers, and swap `percentile` for `percentile_approx` to make
+    the cut-agg single-pass-mergeable — the plan shape is unchanged.
     Comparisons are strict-< against the interpolated thresholds on the
     6dp-rounded scores (identical classification in the DuckDB oracle,
     which uses quantile_cont — the same linear interpolation).  Zero-token
@@ -716,6 +719,9 @@ def remove_dup_spans(
        (collect_set after the semi-join); span coverage + token excision are
        per-row JVM lambda expressions (exists over the starts array) — no
        per-token shuffle, no Python.
+    The gram lineage is evaluated twice (count side + probe side — the
+    partial-agg subplan differs, so Spark cannot reuse the exchange); at
+    corpus scale persist the 3-column gram table across the two consumers.
     Reconstruction is per-row O(n_tokens x n_dup_spans) with both factors
     page-bounded; the relational work is two shuffles of slim rows.
     """
@@ -818,6 +824,12 @@ def badwords_filter(
     array filter per row, all JVM (the word list compiles to an In
     expression — fine for the O(10^3) lists used in practice)."""
     wl = [w.lower() for w in words]
+    if not wl:  # empty blocklist: nothing bad, everything kept
+        return docs.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_bad"),
+            F.lit(1).cast("int").alias("kept"),
+        )
     bad = F.filter(_tokens(text_col), lambda t: t.isin(wl))
     return docs.select(
         F.col(id_col),

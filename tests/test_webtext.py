@@ -605,6 +605,17 @@ def test_badwords_filter_counts_occurrences(spark):
     assert (out[2]["n_bad"], out[2]["kept"]) == (0, 1)
 
 
+def test_badwords_filter_empty_list_keeps_everything(spark):
+    out = {
+        r["doc_id"]: r
+        for r in W.badwords_filter(
+            _docs(spark, ["Spam and SPAM again", ""]), words=[]
+        ).collect()
+    }
+    assert (out[0]["n_bad"], out[0]["kept"]) == (0, 1)
+    assert (out[1]["n_bad"], out[1]["kept"]) == (0, 1)
+
+
 def test_curation_funnel_hand_computed(spark):
     # A and B are identical 60-token pages (pass Gopher), C passes Gopher
     # but carries the badword, D is too short.  Span dedup (k=8) wipes the

@@ -340,7 +340,17 @@ def webtext_scaling_run(repeats: int = SCALE_REPEATS) -> dict:
     because per-row reconstruction of fully-covered docs dominates.)
     Work is forced by a scalar (sum tokens, sum removed) agg; throughput =
     input tokens/sec.  Same best-of-k + median protocol and ACTUAL-core-
-    ratio efficiency as scaling_run."""
+    ratio efficiency as scaling_run.
+
+    Also measures the box's STREAMING CEILING at each level: a
+    tokenize-and-count-only pass over the same persisted corpus — the
+    speed-of-light for any plan that must materialize every token.  On a
+    single box, 4x threads share ONE memory subsystem, so the pure
+    string-streaming component stops scaling once bandwidth saturates
+    (~8 cores here); on a real cluster, 4x NODES bring 4x memory channels
+    and the ceiling artifact disappears.  `streaming_ceiling_efficiency`
+    quantifies that hardware cap so the job's efficiency can be read
+    against it rather than against an unreachable 1.0."""
     import time
 
     from pyspark.sql import functions as F
@@ -386,6 +396,15 @@ def webtext_scaling_run(repeats: int = SCALE_REPEATS) -> dict:
         ).first()
         # warm JVM/codegen outside the timing
         remove_dup_spans(base.limit(500)).agg(F.sum("n_removed")).first()
+        ceil_walls = []
+        for _ in range(repeats):
+            t0 = time.time()
+            corpus.select(
+                F.sum(
+                    F.size(F.split(F.trim(F.coalesce("text", F.lit(""))), r"\s+"))
+                )
+            ).first()
+            ceil_walls.append(time.time() - t0)
         walls = []
         for _ in range(repeats):
             t0 = time.time()
@@ -411,6 +430,8 @@ def webtext_scaling_run(repeats: int = SCALE_REPEATS) -> dict:
             "median_tokens_per_sec": round(
                 tokens_total / sorted(walls)[len(walls) // 2]
             ),
+            "ceiling_walls_sec": [round(w, 2) for w in ceil_walls],
+            "ceiling_best_tokens_per_sec": round(tokens_total / min(ceil_walls)),
         }
     ratio = out["4N"]["cpus"] / out["N"]["cpus"]
     out["scaling_efficiency"] = round(
@@ -421,6 +442,11 @@ def webtext_scaling_run(repeats: int = SCALE_REPEATS) -> dict:
     out["scaling_efficiency_median"] = round(
         out["4N"]["median_tokens_per_sec"]
         / (ratio * out["N"]["median_tokens_per_sec"]),
+        4,
+    )
+    out["streaming_ceiling_efficiency"] = round(
+        out["4N"]["ceiling_best_tokens_per_sec"]
+        / (ratio * out["N"]["ceiling_best_tokens_per_sec"]),
         4,
     )
     return out

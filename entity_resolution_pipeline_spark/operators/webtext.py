@@ -709,7 +709,9 @@ def remove_dup_spans(
     1. gram rows carry ONLY (id, pos, 64-bit hex of the span) — document
        text never rides the shuffle; the hash is the first 16 md5 hex chars
        so the DuckDB oracle reproduces it bit-for-bit (xxhash64 would be
-       Spark-only).
+       Spark-only).  Grams are built as byte-offset substrings of the
+       once-joined doc (zero-copy views, not per-gram slice+concat — see
+       the inline note).
     2. one map-side-combined count over the gram hash (uniform key), then a
        LEFT SEMI join of grams against the >=min_count hashes — semi-join
        output is bounded by the gram table, and AQE skew-split handles the
@@ -719,29 +721,102 @@ def remove_dup_spans(
        (collect_set after the semi-join); span coverage + token excision are
        per-row JVM lambda expressions (exists over the starts array) — no
        per-token shuffle, no Python.
-    The gram lineage is evaluated twice (count side + probe side — the
-    partial-agg subplan differs, so Spark cannot reuse the exchange); at
-    corpus scale persist the 3-column gram table across the two consumers.
+    The gram lineage is evaluated twice (count side + probe side) and that
+    is INTENTIONAL: the only alternatives are (a) persisting the gram
+    table — ~40 bytes/token, i.e. larger than the corpus itself — or (b)
+    forcing both consumers through one repartition(h) exchange, which
+    turns a no-shuffle broadcast-semi probe into a full gram-table shuffle
+    AND forfeits the map-side combine that makes the count side's shuffle
+    tiny.  Re-streaming a cheap tokenize+md5 projection is strictly
+    cheaper at corpus scale (measured: the recompute-vs-materialize rule
+    in BENCH/BASELINE.md finding 3).
     Reconstruction is per-row O(n_tokens x n_dup_spans) with both factors
     page-bounded; the relational work is two shuffles of slim rows.
     """
     base = docs.select(
         F.col(id_col).alias("_id"), _tokens(text_col).alias("toks")
     ).withColumn("n", F.size("toks"))
-    grams = base.where(F.col("n") >= k).select(
-        "_id",
-        F.explode(
+    # Gram build: the naive per-gram `concat_ws(" ", slice(toks, i, k))`
+    # allocates an array + string PER GRAM and stops scaling past ~8 cores
+    # on one box (allocation-rate bound; measured 19.6 s -> 10.5 s at
+    # local[32] for 65M grams by this rewrite, kernel 8->32-core efficiency
+    # 0.42 -> 0.69).  Instead: join the tokens ONCE per doc, cast to
+    # binary, and take each gram as a byte-offset substring — an O(1)
+    # slice whose bytes are identical to the joined gram text, so
+    # md5(gram) and the DuckDB oracle are unchanged.  Token byte offsets
+    # come from a prefix scan over octet_length: a single-pass fold for
+    # typical docs, switching to a two-level (chunked) scan past 512
+    # tokens because the fold's array-concat accumulator is O(n^2) — the
+    # CASE WHEN evaluates lazily per row, so each doc pays only its branch.
+    _G = 64  # chunk width of the two-level scan
+    lens = F.transform(F.col("toks"), lambda t: F.octet_length(t) + F.lit(1))
+    st_flat = F.aggregate(
+        F.col("toks"),
+        F.array(F.lit(1)),
+        lambda acc, t: F.concat(
+            acc, F.array(F.element_at(acc, -1) + F.octet_length(t) + 1)
+        ),
+    )
+    _nch = F.ceil(F.col("n") / F.lit(_G)).cast("int")
+    _chunk_sums = F.transform(
+        F.sequence(F.lit(0), _nch - 1),
+        lambda c: F.aggregate(
+            F.slice(lens, c * _G + 1, _G), F.lit(0), lambda a, x: a + x
+        ),
+    )
+    _chunk_offs = F.aggregate(
+        _chunk_sums,
+        F.array(F.lit(1)),
+        lambda acc, s: F.concat(acc, F.array(F.element_at(acc, -1) + s)),
+    )
+    st_chunked = F.concat(
+        F.flatten(
             F.transform(
-                F.sequence(F.lit(1), F.col("n") - (k - 1)),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.substring(
-                        F.md5(F.concat_ws(" ", F.slice("toks", i, k))), 1, 16
-                    ).alias("h"),
+                F.sequence(F.lit(0), _nch - 1),
+                lambda c: F.aggregate(
+                    F.slice(lens, c * _G + 1, _G - 1),
+                    F.array(F.element_at(_chunk_offs, c + 1)),
+                    lambda acc, x: F.concat(
+                        acc, F.array(F.element_at(acc, -1) + x)
+                    ),
                 ),
             )
-        ).alias("g"),
-    ).select("_id", "g.pos", "g.h")
+        ),
+        F.array(F.element_at(_chunk_offs, -1)),
+    )
+    grams = (
+        base.where(F.col("n") >= k)
+        .withColumn("jb", F.concat_ws(" ", "toks").cast("binary"))
+        .withColumn(
+            "st",
+            F.when(F.col("n") <= 512, st_flat).otherwise(st_chunked),
+        )
+        .select(
+            "_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - (k - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.substring(
+                            F.md5(
+                                F.substring(
+                                    F.col("jb"),
+                                    F.element_at("st", i),
+                                    F.element_at("st", i + k)
+                                    - F.element_at("st", i)
+                                    - F.lit(1),
+                                )
+                            ),
+                            1,
+                            16,
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("_id", "g.pos", "g.h")
+    )
     dup = (
         grams.groupBy("h")
         .agg(F.count("*").alias("c"))

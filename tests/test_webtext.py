@@ -570,6 +570,42 @@ def test_remove_dup_spans_matches_python_reference(spark):
     assert got == expected
 
 
+def test_remove_dup_spans_long_docs_chunked_scan(spark):
+    """Docs past the 512-token threshold take the two-level (chunked)
+    offset scan; multibyte tokens force byte-offsets != char-offsets.
+    Cross-checked against the same pure-Python reference."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(7)
+    alphabet = ["aa", "bé", "cc", "dd", "é€e"]
+    texts = [
+        " ".join(rng.choice(alphabet) for _ in range(n))
+        for n in (520, 600, 777, 12, 0)
+    ]
+    k, mc = 8, 2
+
+    grams: Counter = Counter()
+    toks = [t.split() for t in texts]
+    for ts in toks:
+        for i in range(len(ts) - k + 1):
+            grams[tuple(ts[i : i + k])] += 1
+    expected = {}
+    for doc_id, ts in enumerate(toks):
+        covered: set = set()
+        for i in range(len(ts) - k + 1):
+            if grams[tuple(ts[i : i + k])] >= mc:
+                covered.update(range(i, i + k))
+        kept = [t for j, t in enumerate(ts) if j not in covered]
+        expected[doc_id] = (len(ts), len(ts) - len(kept), " ".join(kept))
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in W.remove_dup_spans(_docs(spark, texts), k=k, min_count=mc).collect()
+    }
+    assert got == expected
+
+
 def test_host_of_and_blocklist(spark):
     rows = spark.createDataFrame(
         [

@@ -972,6 +972,31 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_read(spark, sf_dir, "documents"))
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated snapshot-vs-corpus dedup: the 'existing corpus' is the
+    deterministic doc_id % 7 == 0 slice, the 'new snapshot' is the rest.
+    The corpus is compressed to a broadcast Bloom filter (built map-side,
+    no corpus shuffle) and only bloom-positive snapshot rows reach the
+    exact verify join; output is exact, so the oracle is a plain NOT IN."""
+    docs = _read(spark, sf_dir, "documents")
+    from entity_resolution_pipeline_spark.operators.dedup import incremental_dedup
+
+    corpus = docs.where(F.col("doc_id") % 7 == 0)
+    new = docs.where(F.col("doc_id") % 7 != 0)
+    return incremental_dedup(new, corpus)
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped interpolated bigram LM filter: mean ln P(w_i|w_{i-1})
+    per document under a Jelinek-Mercer bigram model trained on the corpus
+    itself (lam=0.9).  Position-aligned pair explode → bigram/context/
+    unigram counts → broadcast LM join → per-doc agg; docs with < 2 tokens
+    carry no bigram and are excluded."""
+    from entity_resolution_pipeline_spark.operators.webtext import bigram_logprob
+
+    return bigram_logprob(_read(spark, sf_dir, "documents"))
+
+
 def q_fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end MinHash fuzzy dedup (Dolma/RedPajama recipe): LSH pairs at
     J >= 0.5 → connected components → keep min-id per cluster.  Oracle
@@ -1296,6 +1321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "repetition_metrics": q_repetition_metrics,
         "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
+        "incremental_dedup": q_incremental_dedup,
         "fuzzy_dedup_corpus": q_fuzzy_dedup_corpus,
         "fuzzy_dedup_keep_best": q_fuzzy_dedup_keep_best,
         "pii_scan": q_pii_scan,
@@ -2070,6 +2097,47 @@ def oracle_sql() -> dict[str, str]:
             p AS (SELECT w, ln(c / tot) AS lp FROM f CROSS JOIN tot)
             SELECT doc_id, count(*) AS n_tokens, round(avg(lp), 6) AS avg_logprob
             FROM w JOIN p USING (w) GROUP BY 1
+        """,
+        # exact semantics of the bloom-gated plan: kept=1 iff the snapshot
+        # row's fingerprint is absent from the corpus slice
+        "incremental_dedup": f"""
+            WITH fp AS (SELECT doc_id, {_FINGERPRINT_SQL} AS fingerprint
+                        FROM documents),
+            corpus AS (SELECT fingerprint FROM fp WHERE doc_id % 7 = 0),
+            new AS (SELECT * FROM fp WHERE doc_id % 7 != 0)
+            SELECT n.doc_id, n.fingerprint,
+                   CAST(c.fingerprint IS NULL AS INT) AS kept
+            FROM new n
+            LEFT JOIN (SELECT DISTINCT fingerprint FROM corpus) c
+                   ON n.fingerprint = c.fingerprint
+        """,
+        # Jelinek-Mercer interpolated bigram LM, lam=0.9, trained on the
+        # corpus itself — identical count tables and probability expression
+        # as the Spark plan, so doubles agree to well past the 6dp rounding.
+        "bigram_logprob": r"""
+            WITH toks AS (SELECT doc_id,
+                                 CASE WHEN length(trim(coalesce(text, ''))) = 0
+                                      THEN []::VARCHAR[]
+                                      ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                                 END AS t
+                          FROM documents),
+            pairs AS (SELECT doc_id, t[i] AS v, t[i+1] AS w
+                      FROM toks, unnest(generate_series(1, len(t) - 1)) u(i)
+                      WHERE len(t) >= 2),
+            cb AS (SELECT v, w, count(*) AS cb FROM pairs GROUP BY 1, 2),
+            cv AS (SELECT v, sum(cb) AS cv FROM cb GROUP BY 1),
+            words AS (SELECT unnest(t) AS w FROM toks),
+            cu AS (SELECT w, count(*) AS cu FROM words GROUP BY 1),
+            tot AS (SELECT CAST(sum(len(t)) AS BIGINT) AS tot FROM toks),
+            lm AS (SELECT cb.v, cb.w,
+                          ln(0.9 * cb / cv + 0.1 * cu / tot) AS lp
+                   FROM cb JOIN cv USING (v) JOIN cu USING (w) CROSS JOIN tot)
+            SELECT doc_id,
+                   count(*) AS n_bigrams,
+                   round(avg(lp), 6) AS avg_logprob,
+                   round(exp(-avg(lp)), 6) AS perplexity
+            FROM pairs JOIN lm USING (v, w)
+            GROUP BY 1
         """,
         "fuzzy_dedup_corpus": f"""
             {_fuzzy_cc_cte()}

@@ -454,3 +454,99 @@ def embedding_neardup_pairs(
             )
 
     return v.mapInPandas(gen, schema=schema)
+
+
+# ------------------------------------------------- incremental (bloom) dedup
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 23,
+    fanout: int = 16,
+    use_bloom: bool = True,
+) -> DataFrame:
+    """Dedup a NEW crawl snapshot against an EXISTING corpus without ever
+    joining new x corpus: compress the corpus fingerprints into an m-bit
+    Bloom filter (k=4, indices straight from the md5 digest — see
+    functions/bloom.py), broadcast it, and send only the bloom-POSITIVE
+    sliver of the snapshot (true dups + ~FPR false positives) into the
+    exact verify join.  Returns (doc_id, fingerprint, kept) for EVERY new
+    document — kept=1 iff its fingerprint does not occur in the corpus.
+    The output is EXACT regardless of m_bits; the bloom only prunes the
+    verify join's left side.
+
+    Build is one corpus pass, constant executor memory: a per-partition
+    mapInPandas accumulates one local filter across Arrow batches, a
+    fanout-way repartition ORs those into <= fanout rows, and the driver
+    ORs <= fanout byte arrays (fanout * m/8 bytes driver memory).  At
+    10^12 keys, shard the filter by crc32(fingerprint) % n_shards and run
+    one probe pass per shard — same plan, bounded broadcast.
+
+    Scale accounting vs the naive `new LEFT ANTI JOIN corpus`: the naive
+    plan shuffles BOTH sides (100 TB corpus re-shuffled per snapshot); this
+    plan reads the corpus once map-side (no shuffle — the filter build is
+    commutative/associative), broadcasts m/8 bytes, and shuffles only the
+    bloom survivors.  `use_bloom=False` degrades to the naive anti-join for
+    A/B testing and for the DuckDB oracle argument (identical output).
+    """
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from ..functions.bloom import build_bloom, merge_blooms, probe_bloom
+    from ..functions.text_analysis import exact_fingerprint_col
+
+    new_fp = new_docs.select(
+        F.col(id_col).alias("id"), exact_fingerprint_col(F.col(text_col)).alias("fingerprint")
+    )
+    corpus_fp = corpus_docs.select(
+        exact_fingerprint_col(F.col(text_col)).alias("fingerprint")
+    )
+
+    if use_bloom:
+        bloom_schema = StructType([StructField("bloom", BinaryType(), False)])
+
+        def _build(batches):
+            acc = None
+            for pdf in batches:
+                acc = build_bloom(pdf["fingerprint"], m_bits, into=acc)
+            if acc is not None:
+                yield pd.DataFrame({"bloom": [acc.tobytes()]})
+
+        def _merge(batches):
+            acc = []
+            for pdf in batches:
+                acc.extend(pdf["bloom"])
+            if acc:
+                yield pd.DataFrame({"bloom": [merge_blooms(acc).tobytes()]})
+
+        shards = corpus_fp.mapInPandas(_build, bloom_schema)
+        merged = shards.repartition(fanout).mapInPandas(_merge, bloom_schema)
+        parts = [r["bloom"] for r in merged.collect()]
+        spark = new_docs.sparkSession
+        if not parts:  # empty corpus: everything is kept
+            return new_fp.select("id", "fingerprint").select(
+                F.col("id").alias(id_col), "fingerprint", F.lit(1).alias("kept")
+            )
+        bc = spark.sparkContext.broadcast(merge_blooms(parts).tobytes())
+
+        @F.pandas_udf("boolean")
+        def _probe(fp: pd.Series) -> pd.Series:
+            import numpy as np
+
+            bloom = np.frombuffer(bc.value, dtype=np.uint8)
+            return pd.Series(probe_bloom(fp, bloom, m_bits))
+
+        candidates = new_fp.where(_probe("fingerprint"))
+    else:
+        candidates = new_fp
+
+    dup_ids = candidates.join(corpus_fp, "fingerprint", "left_semi").select("id")
+    return (
+        new_fp.join(dup_ids.withColumn("__dup", F.lit(1)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "fingerprint",
+            F.when(F.col("__dup").isNull(), 1).otherwise(0).alias("kept"),
+        )
+    )

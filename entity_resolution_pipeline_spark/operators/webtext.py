@@ -980,3 +980,85 @@ def curation_funnel(
         .unionAll(_stage(cleaned, 3, "span_dedup", kept_tok))
         .unionAll(_stage(reps, 4, "exact_dedup", F.col("ct")))
     )
+
+
+# ---------------------------------------- interpolated bigram LM scoring
+
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.9,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """CCNet-shaped LM perplexity filter, one order up from
+    `unigram_logprob`: score each document by the mean ln P(w_i | w_{i-1})
+    under an interpolated bigram model trained on the corpus itself —
+
+        P(w|v) = lam * c(v,w)/c(v,·) + (1-lam) * c(w)/total
+
+    (Jelinek-Mercer interpolation with the corpus unigram distribution;
+    CCNet uses a pretrained 5-gram KenLM, whose table would slot into the
+    same broadcast-join position).  Returns (doc_id, n_bigrams,
+    avg_logprob, perplexity) for every document with >= 2 tokens; shorter
+    documents carry no bigram and are excluded, as in CCNet, which scores
+    only tokenizable text.
+
+    Physical plan — train and score in ONE lineage, all counts map-side
+    combined on uniform keys:
+      * bigram counts c(v,w): one explode of position-aligned token pairs
+        (slice/transform, no UDF) + hash agg;
+      * context counts c(v,·): a groupBy v over the bigram table (cheaper
+        than a second corpus pass — it reads the already-shuffled counts);
+      * unigram counts + 1-row total exactly as `unigram_logprob`;
+      * the assembled LM table (Zipf-bounded: distinct bigrams <<
+        corpus-token count) joins back to the per-doc bigram stream,
+        broadcast by default — pass broadcast_lm=False to shuffle-join
+        when the LM table outgrows the broadcast budget at corpus scale;
+      * one final per-doc aggregation.
+    Every doc-side bigram exists in the LM table by construction, so the
+    join is inner with no loss.
+    """
+    toks = docs.select(F.col(id_col).alias("id"), _tokens(text_col).alias("t"))
+    pairs = toks.where(F.size("t") >= 2).select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i-1] AS v, t[i] AS w))"
+            )
+        ).alias("b"),
+    ).select("id", F.col("b.v").alias("v"), F.col("b.w").alias("w"))
+
+    cb = pairs.groupBy("v", "w").agg(F.count("*").alias("cb"))
+    cv = cb.groupBy("v").agg(F.sum("cb").alias("cv"))
+    cu = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count("*").alias("cu")
+    )
+    total = toks.select(F.size("t").alias("n")).agg(F.sum("n").alias("tot"))
+
+    lm = (
+        cb.join(cv, "v")
+        .join(cu, "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "v",
+            "w",
+            F.log(
+                F.lit(lam) * F.col("cb") / F.col("cv")
+                + F.lit(1.0 - lam) * F.col("cu") / F.col("tot")
+            ).alias("lp"),
+        )
+    )
+    if broadcast_lm:
+        lm = F.broadcast(lm)
+    return (
+        pairs.join(lm, ["v", "w"])
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+            F.round(F.exp(-F.avg("lp")), 6).alias("perplexity"),
+        )
+        .select(F.col("id").alias(id_col), "n_bigrams", "avg_logprob", "perplexity")
+    )

@@ -1,0 +1,94 @@
+"""Bloom primitives (functions/bloom.py) + bloom-gated incremental dedup
+(operators/dedup.incremental_dedup): no false negatives ever, measured FPR
+within theory, and exact operator output identical to the naive anti-join."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from entity_resolution_pipeline_spark.functions.bloom import (
+    bloom_index_matrix,
+    build_bloom,
+    merge_blooms,
+    probe_bloom,
+)
+from entity_resolution_pipeline_spark.operators.dedup import incremental_dedup
+
+M = 1 << 16
+
+
+def _fps(prefix: str, n: int) -> list[str]:
+    return [hashlib.md5(f"{prefix}-{i}".encode()).hexdigest() for i in range(n)]
+
+
+def test_bloom_no_false_negatives():
+    members = _fps("m", 2000)
+    bloom = build_bloom(pd.Series(members), M)
+    assert probe_bloom(pd.Series(members), bloom, M).all()
+
+
+def test_bloom_fpr_within_theory():
+    members = _fps("m", 2000)
+    bloom = build_bloom(pd.Series(members), M)
+    outsiders = _fps("x", 20000)
+    fpr = probe_bloom(pd.Series(outsiders), bloom, M).mean()
+    # (1 - e^(-4n/m))^4 at n=2000, m=65536 -> ~1.6e-4; allow 10x slack
+    theory = (1 - np.exp(-4 * 2000 / M)) ** 4
+    assert fpr <= 10 * theory + 1e-4
+
+
+def test_bloom_merge_equals_single_build():
+    a, b = _fps("a", 500), _fps("b", 500)
+    merged = merge_blooms([build_bloom(pd.Series(a), M), build_bloom(pd.Series(b), M)])
+    whole = build_bloom(pd.Series(a + b), M)
+    assert np.array_equal(merged, whole)
+
+
+def test_bloom_index_matrix_rejects_bad_fp():
+    with pytest.raises(ValueError):
+        bloom_index_matrix(["deadbeef"], M)
+
+
+def _snapshot_tables(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"shared text {i % 5}") for i in range(10)], "doc_id long, text string"
+    )
+    # new snapshot: ids 100..119; texts 100..104 collide with corpus texts 0..4
+    new = spark.createDataFrame(
+        [(100 + i, f"shared text {i}" if i < 5 else f"fresh text {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    return new, corpus
+
+
+def test_incremental_dedup_exact_flags(spark):
+    new, corpus = _snapshot_tables(spark)
+    out = {r["doc_id"]: r["kept"] for r in incremental_dedup(new, corpus).collect()}
+    assert len(out) == 20
+    for i in range(20):
+        assert out[100 + i] == (0 if i < 5 else 1)
+
+
+def test_incremental_dedup_bloom_matches_naive(spark):
+    new, corpus = _snapshot_tables(spark)
+    with_bloom = sorted(map(tuple, incremental_dedup(new, corpus, m_bits=1 << 12).collect()))
+    naive = sorted(map(tuple, incremental_dedup(new, corpus, use_bloom=False).collect()))
+    assert with_bloom == naive
+
+
+def test_incremental_dedup_empty_corpus_keeps_all(spark):
+    new, corpus = _snapshot_tables(spark)
+    out = incremental_dedup(new, corpus.where("doc_id < 0")).collect()
+    assert len(out) == 20 and all(r["kept"] == 1 for r in out)
+
+
+def test_incremental_dedup_tiny_filter_still_exact(spark):
+    # m_bits=64: nearly every probe is a false positive -> verify join does
+    # all the work, output unchanged (the bloom is an optimization only)
+    new, corpus = _snapshot_tables(spark)
+    out = {r["doc_id"]: r["kept"] for r in incremental_dedup(new, corpus, m_bits=64).collect()}
+    assert sum(out.values()) == 15

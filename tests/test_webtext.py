@@ -711,3 +711,36 @@ def test_url_line_queries_duckdb_parity_small(spark):
         s = sdf[cols].sort_values(cols).reset_index(drop=True)
         o = odf[cols].sort_values(cols).reset_index(drop=True)
         assert len(s) == len(o) and s.equals(o.astype(s.dtypes.to_dict())), name
+
+
+# ------------------------------------------------------------ bigram_logprob
+
+def test_bigram_logprob_hand_computed(spark):
+    # corpus: "a b a b" | "a b" — bigrams: (a,b)x3, (b,a)x1; contexts:
+    # c(a,·)=3, c(b,·)=1; unigrams: c(a)=c(b)=3, tot=6
+    # P(b|a) = 0.9*3/3 + 0.1*3/6 = 0.95 ; P(a|b) = 0.9*1/1 + 0.1*3/6 = 0.95
+    rows = {
+        r["doc_id"]: r
+        for r in W.bigram_logprob(_docs(spark, ["a b a b", "a b"])).collect()
+    }
+    assert rows[0]["n_bigrams"] == 3 and rows[1]["n_bigrams"] == 1
+    lp = round(math.log(0.95), 6)
+    assert rows[0]["avg_logprob"] == pytest.approx(lp)
+    assert rows[1]["avg_logprob"] == pytest.approx(lp)
+    assert rows[1]["perplexity"] == pytest.approx(round(math.exp(-math.log(0.95)), 6))
+
+
+def test_bigram_logprob_excludes_short_docs(spark):
+    out = W.bigram_logprob(_docs(spark, ["solo", "", "a b"])).collect()
+    assert {r["doc_id"] for r in out} == {2}
+
+
+def test_bigram_logprob_unseen_context_never_scored(spark):
+    # every doc-side bigram exists in the LM by construction; rare
+    # continuations score lower than frequent ones
+    common = "x y " * 10
+    rows = {
+        r["doc_id"]: r
+        for r in W.bigram_logprob(_docs(spark, [common, "x z"])).collect()
+    }
+    assert rows[1]["avg_logprob"] < rows[0]["avg_logprob"]

@@ -972,6 +972,52 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_read(spark, sf_dir, "documents"))
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (DCLM/LLaMA recipe): score every doc
+    with a fastText-shaped hashed-ngram linear classifier.  The model is
+    deterministic (driver-trained numpy LR, fixed seed — quality_model.py),
+    so the oracle regenerates the identical weights and inlines them as a
+    VALUES table; scoring itself is pure JVM exprs + one broadcast join."""
+    from entity_resolution_pipeline_spark.operators.webtext import (
+        quality_classifier_scores,
+    )
+
+    return quality_classifier_scores(_read(spark, sf_dir, "documents"))
+
+
+def _quality_classifier_sql() -> str:
+    from entity_resolution_pipeline_spark.functions.quality_model import (
+        N_BUCKETS,
+        train_quality_classifier,
+    )
+
+    w, b = train_quality_classifier()
+    values = ", ".join(f"({j}, {wj!r})" for j, wj in enumerate(w))
+    return f"""
+        WITH wt(bucket, w) AS (VALUES {values}),
+        toks AS (SELECT doc_id,
+                        CASE WHEN length(trim(coalesce(text, ''))) = 0
+                             THEN []::VARCHAR[]
+                             ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+                        END AS t
+                 FROM documents),
+        uni AS (SELECT doc_id, unnest(t) AS g FROM toks WHERE len(t) >= 1),
+        bi AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+               FROM toks, unnest(generate_series(1, len(t) - 1)) u(i)
+               WHERE len(t) >= 2),
+        grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        bucketed AS (SELECT doc_id,
+                            ('0x' || substr(md5(g), 1, 8))::BIGINT % {N_BUCKETS} AS bucket
+                     FROM grams)
+        SELECT doc_id,
+               count(*) AS n_grams,
+               round(1.0 / (1.0 + exp(-({b!r} + sum(w) / count(*)))), 6)
+                   AS quality_prob
+        FROM bucketed JOIN wt USING (bucket)
+        GROUP BY 1
+    """
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-gated snapshot-vs-corpus dedup: the 'existing corpus' is the
     deterministic doc_id % 7 == 0 slice, the 'new snapshot' is the rest.
@@ -1323,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "bigram_logprob": q_bigram_logprob,
         "incremental_dedup": q_incremental_dedup,
+        "quality_classifier": q_quality_classifier,
         "fuzzy_dedup_corpus": q_fuzzy_dedup_corpus,
         "fuzzy_dedup_keep_best": q_fuzzy_dedup_keep_best,
         "pii_scan": q_pii_scan,
@@ -2098,6 +2145,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_tokens, round(avg(lp), 6) AS avg_logprob
             FROM w JOIN p USING (w) GROUP BY 1
         """,
+        "quality_classifier": _quality_classifier_sql(),
         # exact semantics of the bloom-gated plan: kept=1 iff the snapshot
         # row's fingerprint is absent from the corpus slice
         "incremental_dedup": f"""

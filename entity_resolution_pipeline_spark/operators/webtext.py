@@ -43,6 +43,15 @@ C4 (Raffel et al. 2020, §2.2) and CCNet (Wenzek et al. 2020) pipelines:
 * `curation_funnel`     — the composed pipeline as one plan, reported as
                           the per-stage survival funnel the curation papers
                           publish (RefinedWeb Fig. 2).
+* `bigram_logprob`      — Jelinek-Mercer interpolated bigram LM perplexity
+                          (the CCNet KenLM slot, one order up from
+                          `unigram_logprob`): train and score in one
+                          lineage, LM table broadcast.
+* `quality_classifier_scores`
+                        — DCLM/LLaMA model-based quality filter: fastText-
+                          shaped hashed uni+bigram linear classifier
+                          (functions/quality_model.py), scored entirely in
+                          JVM exprs + one broadcast join.
 
 Scale notes (100 TB): every op is one or two shuffles on uniform keys.
 `gopher_quality` is shuffle-free (per-row exprs).  `repetition_metrics`
@@ -82,6 +91,8 @@ __all__ = [
     "blocklist_filter",
     "badwords_filter",
     "curation_funnel",
+    "bigram_logprob",
+    "quality_classifier_scores",
 ]
 
 # PII regexes chosen to behave identically under Java regex (Spark) and RE2
@@ -1061,4 +1072,61 @@ def bigram_logprob(
             F.round(F.exp(-F.avg("lp")), 6).alias("perplexity"),
         )
         .select(F.col("id").alias(id_col), "n_bigrams", "avg_logprob", "perplexity")
+    )
+
+
+# ---------------------------------------- model-based quality classifier
+
+def quality_classifier_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights=None,
+    bias: float | None = None,
+) -> DataFrame:
+    """DCLM/LLaMA-style model-based quality filtering: score every document
+    with a fastText-shaped linear classifier over hashed word uni+bigram
+    buckets (functions/quality_model.py; trained driver-side once — the
+    model is a few KB, scoring is the 100 TB job).  Returns (doc_id,
+    n_grams, quality_prob) for every document with >= 1 token;
+    quality_prob = sigmoid(bias + sum_g w[h(g)] / n_grams).
+
+    Physical plan — ZERO Python in the scoring path: gram construction is a
+    transform/concat expression, the bucket hash is md5+conv (JVM codegen),
+    the 256-row weight table is a broadcast join, and the score is one
+    map-side-combined per-doc aggregation.  The weight table joins on every
+    bucket id, so the join is inner with no loss."""
+    from ..functions.quality_model import train_quality_classifier
+
+    if weights is None:
+        weights, bias = train_quality_classifier()
+    n_buckets = len(weights)
+    spark = docs.sparkSession
+    wtab = F.broadcast(
+        spark.createDataFrame(
+            [(j, float(w)) for j, w in enumerate(weights)], "bucket long, w double"
+        )
+    )
+
+    toks = docs.select(F.col(id_col).alias("id"), _tokens(text_col).alias("t"))
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.where(F.size("t") >= 1).select(
+        "id", F.explode(F.concat(F.col("t"), bigrams)).alias("g")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long") % n_buckets
+    ).alias("bucket")
+    z = F.lit(float(bias)) + F.sum("w") / F.count("*")
+    return (
+        grams.select("id", bucket)
+        .join(wtab, "bucket")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("quality_prob"),
+        )
+        .select(F.col("id").alias(id_col), "n_grams", "quality_prob")
     )

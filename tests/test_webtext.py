@@ -744,3 +744,50 @@ def test_bigram_logprob_unseen_context_never_scored(spark):
         for r in W.bigram_logprob(_docs(spark, [common, "x z"])).collect()
     }
     assert rows[1]["avg_logprob"] < rows[0]["avg_logprob"]
+
+
+# ------------------------------------------------- quality_classifier_scores
+
+def test_quality_model_training_is_deterministic():
+    from entity_resolution_pipeline_spark.functions import quality_model as QM
+
+    w1, b1 = QM.train_quality_classifier()
+    w2, b2 = QM.train_quality_classifier()
+    assert (w1 == w2).all() and b1 == b2
+
+
+def test_quality_model_separates_held_out():
+    import numpy as np
+
+    from entity_resolution_pipeline_spark.functions import quality_model as QM
+
+    w, b = QM.train_quality_classifier()
+    texts, y = QM.synth_labeled_set(n=200, seed=99)  # unseen seed
+    p = 1.0 / (1.0 + np.exp(-(QM.featurize(texts) @ w + b)))
+    # rank-statistic AUC on the held-out set
+    pos, neg = p[y == 1], p[y == 0]
+    auc = (pos[:, None] > neg[None, :]).mean()
+    assert auc >= 0.98
+    assert p[y == 1].mean() > 0.8 and p[y == 0].mean() < 0.2
+
+
+def test_quality_classifier_scores_match_numpy(spark):
+    import numpy as np
+
+    from entity_resolution_pipeline_spark.functions import quality_model as QM
+
+    texts = ["the library of the university", "zzqx vvkw ppty", "single"]
+    w, b = QM.train_quality_classifier()
+    expected = 1.0 / (1.0 + np.exp(-(QM.featurize(texts) @ w + b)))
+    rows = {
+        r["doc_id"]: r
+        for r in W.quality_classifier_scores(_docs(spark, texts)).collect()
+    }
+    for i, t in enumerate(texts):
+        assert rows[i]["n_grams"] == len(QM.doc_grams(t))
+        assert rows[i]["quality_prob"] == pytest.approx(expected[i], abs=1e-6)
+
+
+def test_quality_classifier_excludes_empty_docs(spark):
+    out = W.quality_classifier_scores(_docs(spark, ["", "   ", "a b"])).collect()
+    assert {r["doc_id"] for r in out} == {2}

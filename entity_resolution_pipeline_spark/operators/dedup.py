@@ -458,6 +458,111 @@ def embedding_neardup_pairs(
 
 # ------------------------------------------------- incremental (bloom) dedup
 
+def build_corpus_bloom(
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    m_bits: int = 1 << 23,
+    fanout: int = 16,
+) -> bytes | None:
+    """One corpus pass → m-bit Bloom filter bytes over the exact-dedup md5
+    fingerprints (k=4, indices straight from the digest — functions/
+    bloom.py).  Constant executor memory: a per-partition mapInPandas
+    accumulates one local filter across Arrow batches (NO corpus shuffle —
+    the build is commutative/associative), a fanout-way repartition ORs
+    those into <= fanout rows, and the driver ORs <= fanout byte arrays
+    (fanout * m/8 bytes driver memory).  At 10^12 keys, shard the filter by
+    crc32(fingerprint) % n_shards and run one probe pass per shard — same
+    plan, bounded broadcast.  Returns None for an empty corpus."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from ..functions.bloom import build_bloom, merge_blooms
+    from ..functions.text_analysis import exact_fingerprint_col
+
+    corpus_fp = corpus_docs.select(
+        exact_fingerprint_col(F.col(text_col)).alias("fingerprint")
+    )
+    bloom_schema = StructType([StructField("bloom", BinaryType(), False)])
+
+    def _build(batches):
+        acc = None
+        for pdf in batches:
+            acc = build_bloom(pdf["fingerprint"], m_bits, into=acc)
+        if acc is not None:
+            yield pd.DataFrame({"bloom": [acc.tobytes()]})
+
+    def _merge(batches):
+        acc = []
+        for pdf in batches:
+            acc.extend(pdf["bloom"])
+        if acc:
+            yield pd.DataFrame({"bloom": [merge_blooms(acc).tobytes()]})
+
+    shards = corpus_fp.mapInPandas(_build, bloom_schema)
+    merged = shards.repartition(fanout).mapInPandas(_merge, bloom_schema)
+    parts = [r["bloom"] for r in merged.collect()]
+    if not parts:
+        return None
+    return merge_blooms(parts).tobytes()
+
+
+def flag_against_corpus(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    bloom_bytes: bytes | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 23,
+) -> DataFrame:
+    """(doc_id, fingerprint, kept) for every new document — kept=1 iff its
+    fingerprint is absent from the corpus.  The bloom splits the snapshot
+    into a bloom-NEGATIVE branch (definitely novel: kept=1 with NO join at
+    all) and a bloom-POSITIVE sliver (true dups + ~FPR false positives)
+    that alone reaches the exact verify join; the union is exact at any
+    m_bits.  Both branches are stateless projections / stream-static joins,
+    so the SAME call composes with Structured Streaming unchanged (new_docs
+    streaming, corpus static) — see tests/test_bloom.py.  bloom_bytes=None
+    (empty corpus) keeps everything."""
+    from ..functions.bloom import probe_bloom
+    from ..functions.text_analysis import exact_fingerprint_col
+
+    new_fp = new_docs.select(
+        F.col(id_col).alias("id"),
+        exact_fingerprint_col(F.col(text_col)).alias("fingerprint"),
+    )
+    if bloom_bytes is None:
+        return new_fp.select(
+            F.col("id").alias(id_col), "fingerprint", F.lit(1).alias("kept")
+        )
+
+    bc = new_docs.sparkSession.sparkContext.broadcast(bloom_bytes)
+
+    @F.pandas_udf("boolean")
+    def _probe(fp: pd.Series) -> pd.Series:
+        import numpy as np
+
+        bloom = np.frombuffer(bc.value, dtype=np.uint8)
+        return pd.Series(probe_bloom(fp, bloom, m_bits))
+
+    corpus_fp = corpus_docs.select(
+        exact_fingerprint_col(F.col(text_col)).alias("fingerprint")
+    ).dropDuplicates()
+    novel = new_fp.where(~_probe("fingerprint")).select(
+        "id", "fingerprint", F.lit(1).alias("kept")
+    )
+    checked = (
+        new_fp.where(_probe("fingerprint"))
+        .join(corpus_fp.withColumn("__hit", F.lit(1)), "fingerprint", "left")
+        .select(
+            "id",
+            "fingerprint",
+            F.when(F.col("__hit").isNull(), 1).otherwise(0).alias("kept"),
+        )
+    )
+    return novel.unionByName(checked).select(
+        F.col("id").alias(id_col), "fingerprint", "kept"
+    )
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     corpus_docs: DataFrame,
@@ -468,85 +573,41 @@ def incremental_dedup(
     use_bloom: bool = True,
 ) -> DataFrame:
     """Dedup a NEW crawl snapshot against an EXISTING corpus without ever
-    joining new x corpus: compress the corpus fingerprints into an m-bit
-    Bloom filter (k=4, indices straight from the md5 digest — see
-    functions/bloom.py), broadcast it, and send only the bloom-POSITIVE
-    sliver of the snapshot (true dups + ~FPR false positives) into the
-    exact verify join.  Returns (doc_id, fingerprint, kept) for EVERY new
-    document — kept=1 iff its fingerprint does not occur in the corpus.
-    The output is EXACT regardless of m_bits; the bloom only prunes the
-    verify join's left side.
-
-    Build is one corpus pass, constant executor memory: a per-partition
-    mapInPandas accumulates one local filter across Arrow batches, a
-    fanout-way repartition ORs those into <= fanout rows, and the driver
-    ORs <= fanout byte arrays (fanout * m/8 bytes driver memory).  At
-    10^12 keys, shard the filter by crc32(fingerprint) % n_shards and run
-    one probe pass per shard — same plan, bounded broadcast.
+    joining new x corpus: `build_corpus_bloom` compresses the corpus
+    fingerprints into an m-bit Bloom filter, `flag_against_corpus`
+    broadcasts it and sends only the bloom-positive sliver of the snapshot
+    into the exact verify join.  Output is EXACT regardless of m_bits; the
+    bloom only prunes the verify join's input.
 
     Scale accounting vs the naive `new LEFT ANTI JOIN corpus`: the naive
     plan shuffles BOTH sides (100 TB corpus re-shuffled per snapshot); this
     plan reads the corpus once map-side (no shuffle — the filter build is
-    commutative/associative), broadcasts m/8 bytes, and shuffles only the
-    bloom survivors.  `use_bloom=False` degrades to the naive anti-join for
+    commutative/associative), broadcasts m/8 bytes, and joins only the
+    bloom survivors.  `use_bloom=False` degrades to the naive left join for
     A/B testing and for the DuckDB oracle argument (identical output).
     """
-    from pyspark.sql.types import BinaryType, StructField, StructType
-
-    from ..functions.bloom import build_bloom, merge_blooms, probe_bloom
     from ..functions.text_analysis import exact_fingerprint_col
 
-    new_fp = new_docs.select(
-        F.col(id_col).alias("id"), exact_fingerprint_col(F.col(text_col)).alias("fingerprint")
-    )
-    corpus_fp = corpus_docs.select(
-        exact_fingerprint_col(F.col(text_col)).alias("fingerprint")
-    )
-
-    if use_bloom:
-        bloom_schema = StructType([StructField("bloom", BinaryType(), False)])
-
-        def _build(batches):
-            acc = None
-            for pdf in batches:
-                acc = build_bloom(pdf["fingerprint"], m_bits, into=acc)
-            if acc is not None:
-                yield pd.DataFrame({"bloom": [acc.tobytes()]})
-
-        def _merge(batches):
-            acc = []
-            for pdf in batches:
-                acc.extend(pdf["bloom"])
-            if acc:
-                yield pd.DataFrame({"bloom": [merge_blooms(acc).tobytes()]})
-
-        shards = corpus_fp.mapInPandas(_build, bloom_schema)
-        merged = shards.repartition(fanout).mapInPandas(_merge, bloom_schema)
-        parts = [r["bloom"] for r in merged.collect()]
-        spark = new_docs.sparkSession
-        if not parts:  # empty corpus: everything is kept
-            return new_fp.select("id", "fingerprint").select(
-                F.col("id").alias(id_col), "fingerprint", F.lit(1).alias("kept")
-            )
-        bc = spark.sparkContext.broadcast(merge_blooms(parts).tobytes())
-
-        @F.pandas_udf("boolean")
-        def _probe(fp: pd.Series) -> pd.Series:
-            import numpy as np
-
-            bloom = np.frombuffer(bc.value, dtype=np.uint8)
-            return pd.Series(probe_bloom(fp, bloom, m_bits))
-
-        candidates = new_fp.where(_probe("fingerprint"))
-    else:
-        candidates = new_fp
-
-    dup_ids = candidates.join(corpus_fp, "fingerprint", "left_semi").select("id")
-    return (
-        new_fp.join(dup_ids.withColumn("__dup", F.lit(1)), "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            "fingerprint",
-            F.when(F.col("__dup").isNull(), 1).otherwise(0).alias("kept"),
+    if not use_bloom:
+        new_fp = new_docs.select(
+            F.col(id_col).alias("id"),
+            exact_fingerprint_col(F.col(text_col)).alias("fingerprint"),
         )
+        corpus_fp = corpus_docs.select(
+            exact_fingerprint_col(F.col(text_col)).alias("fingerprint")
+        ).dropDuplicates()
+        return (
+            new_fp.join(corpus_fp.withColumn("__hit", F.lit(1)), "fingerprint", "left")
+            .select(
+                F.col("id").alias(id_col),
+                "fingerprint",
+                F.when(F.col("__hit").isNull(), 1).otherwise(0).alias("kept"),
+            )
+        )
+
+    bloom_bytes = build_corpus_bloom(
+        corpus_docs, text_col=text_col, m_bits=m_bits, fanout=fanout
+    )
+    return flag_against_corpus(
+        new_docs, corpus_docs, bloom_bytes, id_col=id_col, text_col=text_col, m_bits=m_bits
     )

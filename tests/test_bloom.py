@@ -92,3 +92,37 @@ def test_incremental_dedup_tiny_filter_still_exact(spark):
     new, corpus = _snapshot_tables(spark)
     out = {r["doc_id"]: r["kept"] for r in incremental_dedup(new, corpus, m_bits=64).collect()}
     assert sum(out.values()) == 15
+
+
+def test_incremental_dedup_streaming_batch_parity(spark, tmp_path):
+    """flag_against_corpus is a stateless probe + stream-static join, so the
+    SAME call dedups a STREAM of new documents against a frozen corpus bloom:
+    pin bit-equality between the batch run and an availableNow streaming run
+    over the same parquet source."""
+    from entity_resolution_pipeline_spark.operators.dedup import (
+        build_corpus_bloom,
+        flag_against_corpus,
+    )
+
+    new, corpus = _snapshot_tables(spark)
+    src = str(tmp_path / "new_docs")
+    new.write.parquet(src)
+    bloom = build_corpus_bloom(corpus, m_bits=1 << 12)
+
+    batch_in = spark.read.parquet(src)
+    expected = sorted(
+        map(tuple, flag_against_corpus(batch_in, corpus, bloom, m_bits=1 << 12).collect())
+    )
+    assert sum(t[2] for t in expected) == 15  # 5 dups flagged
+
+    stream_in = spark.readStream.schema(batch_in.schema).parquet(src)
+    q = (
+        flag_against_corpus(stream_in, corpus, bloom, m_bits=1 << 12)
+        .writeStream.format("memory")
+        .queryName("bloom_parity")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM bloom_parity").collect()))
+    assert got == expected

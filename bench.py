@@ -59,6 +59,11 @@ HEADLINE = [
     "remove_dup_spans",
     # composition flagship (19 → 20): the whole curation pipeline as one plan
     "curation_funnel",
+    # r2 continuation (20 → 23): bigram LM, model-based quality filter,
+    # bloom-gated snapshot dedup
+    "bigram_logprob",
+    "quality_classifier",
+    "incremental_dedup",
 ]
 
 

@@ -1083,6 +1083,7 @@ def quality_classifier_scores(
     text_col: str = "text",
     weights=None,
     bias: float | None = None,
+    method: str = "expr",
 ) -> DataFrame:
     """DCLM/LLaMA-style model-based quality filtering: score every document
     with a fastText-shaped linear classifier over hashed word uni+bigram
@@ -1091,28 +1092,55 @@ def quality_classifier_scores(
     n_grams, quality_prob) for every document with >= 1 token;
     quality_prob = sigmoid(bias + sum_g w[h(g)] / n_grams).
 
-    Physical plan — ZERO Python in the scoring path: gram construction is a
-    transform/concat expression, the bucket hash is md5+conv (JVM codegen),
-    the 256-row weight table is a broadcast join, and the score is one
-    map-side-combined per-doc aggregation.  The weight table joins on every
-    bucket id, so the join is inner with no loss."""
+    Two physical shapes, both ZERO Python, selected by `method`:
+
+    * "expr" (default, right for shipped models up to ~10^5 buckets): the
+      weight vector rides the plan as an array literal and the whole score
+      is ONE projection — grams via transform/concat, bucket hash via
+      md5+conv, the sum via a higher-order `aggregate` fold.  No explode,
+      no join, NO SHUFFLE: the op is a stateless per-row expression, so it
+      composes with Structured Streaming unchanged (parity pinned in
+      test_webtext) and its cost profile is exactly "read the corpus once".
+    * "join" (for big models, e.g. a 2M-bucket fastText .bin): explode
+      grams → broadcast-join the weight table → one map-side-combined
+      per-doc aggregation.  Same output bit-for-bit (pinned by test).
+    """
     from ..functions.quality_model import train_quality_classifier
 
     if weights is None:
         weights, bias = train_quality_classifier()
     n_buckets = len(weights)
-    spark = docs.sparkSession
-    wtab = F.broadcast(
-        spark.createDataFrame(
-            [(j, float(w)) for j, w in enumerate(weights)], "bucket long, w double"
-        )
-    )
 
     toks = docs.select(F.col(id_col).alias("id"), _tokens(text_col).alias("t"))
     bigrams = F.when(
         F.size("t") >= 2,
         F.expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"),
     ).otherwise(F.array().cast("array<string>"))
+
+    if method == "expr":
+        warr = F.array(*[F.lit(float(w)) for w in weights])
+        grams_df = toks.where(F.size("t") >= 1).select(
+            "id", F.concat(F.col("t"), bigrams).alias("grams"), warr.alias("__w")
+        )
+        # left-to-right fold over the doc's grams: acc + w[h(g)]
+        s = F.expr(
+            "aggregate(grams, 0.0D, (acc, g) ->"
+            " acc + element_at(__w,"
+            f" int(conv(substring(md5(g), 1, 8), 16, 10) % {n_buckets}) + 1))"
+        )
+        z = F.lit(float(bias)) + s / F.size("grams")
+        return grams_df.select(
+            F.col("id").alias(id_col),
+            F.size("grams").cast("long").alias("n_grams"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("quality_prob"),
+        )
+
+    spark = docs.sparkSession
+    wtab = F.broadcast(
+        spark.createDataFrame(
+            [(j, float(w)) for j, w in enumerate(weights)], "bucket long, w double"
+        )
+    )
     grams = toks.where(F.size("t") >= 1).select(
         "id", F.explode(F.concat(F.col("t"), bigrams)).alias("g")
     )

@@ -791,3 +791,34 @@ def test_quality_classifier_scores_match_numpy(spark):
 def test_quality_classifier_excludes_empty_docs(spark):
     out = W.quality_classifier_scores(_docs(spark, ["", "   ", "a b"])).collect()
     assert {r["doc_id"] for r in out} == {2}
+
+
+def test_quality_classifier_expr_and_join_paths_agree(spark):
+    texts = ["the library of the university", "zzqx vvkw ppty", "single", "a b c d e"]
+    expr = sorted(map(tuple, W.quality_classifier_scores(_docs(spark, texts)).collect()))
+    join = sorted(
+        map(tuple, W.quality_classifier_scores(_docs(spark, texts), method="join").collect())
+    )
+    assert expr == join
+
+
+def test_quality_classifier_expr_is_shuffle_free_and_streams(spark, tmp_path):
+    # stateless projection: no Exchange in the plan, and the SAME call runs
+    # under Structured Streaming with bit-equal output
+    src = str(tmp_path / "docs")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100).write.parquet(src)
+    batch_in = spark.read.parquet(src)
+    plan = W.quality_classifier_scores(batch_in)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    expected = sorted(map(tuple, W.quality_classifier_scores(batch_in).collect()))
+    stream_in = spark.readStream.schema(batch_in.schema).parquet(src)
+    q = (
+        W.quality_classifier_scores(stream_in)
+        .writeStream.format("memory")
+        .queryName("qc_parity")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM qc_parity").collect()))
+    assert got == expected and len(got) == 100

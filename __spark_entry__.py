@@ -972,6 +972,33 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_read(spark, sf_dir, "documents"))
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (the WET step of a Common-Crawl pipeline):
+    wrap each document's text in a deterministic page template (script/
+    style/comment noise, nav boilerplate, entities) and strip it back out
+    with webtext.html_to_text — every pattern is Java-regex/RE2-identical,
+    so the oracle replays the same construction + extraction in DuckDB and
+    the STRINGS must match byte-for-byte."""
+    from entity_resolution_pipeline_spark.operators.webtext import html_to_text
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><title>Doc '),
+            F.col("doc_id").cast("string"),
+            F.lit(
+                '</title><script type="text/javascript">var x = 1 < 2;'
+                "</script><style>.nav{color:red}</style></head><body>"
+                '<!-- header --><div class="nav">Home | About</div><p>'
+            ),
+            F.col("text"),
+            F.lit("</p><ul><li>first</li><li>second &amp; third</li></ul></body></html>"),
+        ).alias("html"),
+    )
+    return html_to_text(pages).select("doc_id", "extracted_text")
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (DCLM/LLaMA recipe): score every doc
     with a fastText-shaped hashed-ngram linear classifier.  The model is
@@ -1370,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "incremental_dedup": q_incremental_dedup,
         "quality_classifier": q_quality_classifier,
+        "html_extract": q_html_extract,
         "fuzzy_dedup_corpus": q_fuzzy_dedup_corpus,
         "fuzzy_dedup_keep_best": q_fuzzy_dedup_keep_best,
         "pii_scan": q_pii_scan,
@@ -2146,6 +2174,43 @@ def oracle_sql() -> dict[str, str]:
             FROM w JOIN p USING (w) GROUP BY 1
         """,
         "quality_classifier": _quality_classifier_sql(),
+        # same page template, same ordered strip steps, same entity chain —
+        # byte-identical extracted_text is the assertion
+        "html_extract": r"""
+            WITH pages AS (SELECT doc_id,
+                '<html><head><title>Doc ' || doc_id ||
+                '</title><script type="text/javascript">var x = 1 < 2;' ||
+                '</script><style>.nav{color:red}</style></head><body>' ||
+                '<!-- header --><div class="nav">Home | About</div><p>' ||
+                text ||
+                '</p><ul><li>first</li><li>second &amp; third</li></ul></body></html>'
+                AS html FROM documents),
+            s1 AS (SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(coalesce(html, ''),
+                           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                         '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                       '(?s)<!--.*?-->', ' ', 'g') AS s FROM pages),
+            s2 AS (SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(s, '(?i)<(br|/p|/div|/li|/tr|/h[1-6])[^>]*>',
+                                      chr(10), 'g'),
+                       '(?s)<[^>]*>', ' ', 'g') AS s FROM s1),
+            s3 AS (SELECT doc_id,
+                     replace(replace(replace(replace(replace(replace(s,
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS s
+                   FROM s2),
+            s4 AS (SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(s, '[ \t]+', ' ', 'g'),
+                         ' ?\n ?', chr(10), 'g'),
+                       '\n{3,}', chr(10) || chr(10), 'g') AS s FROM s3)
+            SELECT doc_id, trim(s, ' ' || chr(10) || chr(9)) AS extracted_text
+            FROM s4
+        """,
         # exact semantics of the bloom-gated plan: kept=1 iff the snapshot
         # row's fingerprint is absent from the corpus slice
         "incremental_dedup": f"""

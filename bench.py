@@ -331,6 +331,7 @@ def scaling_run(n_records: int = SCALE_N, repeats: int = SCALE_REPEATS) -> dict:
 
 
 WEBTEXT_SCALE_REPLICAS = int(os.environ.get("SPARK_GRAFT_WEBTEXT_REPLICAS", "60"))
+WEBTEXT_CLF_MULT = int(os.environ.get("SPARK_GRAFT_WEBTEXT_CLF_MULT", "4"))
 
 
 def webtext_scaling_run(repeats: int = SCALE_REPEATS) -> dict:
@@ -422,6 +423,33 @@ def webtext_scaling_run(repeats: int = SCALE_REPEATS) -> dict:
                 .first()
             )
             walls.append(time.time() - t0)
+        # model-based quality filter: the shuffle-free expression path — the
+        # closest thing to a pure "read the corpus once" job, so its N->4N
+        # ratio reads the compute-bound (not shuffle-bound) scaling of the
+        # box.  The per-row job is so fast that the spans corpus finishes in
+        # seconds at 4N (fixed task-launch/planning overheads dominate), so
+        # the classifier times a CLF_MULT-x replicated view (row-identical
+        # copies are fine: scoring is per-row, no cross-doc semantics).
+        from entity_resolution_pipeline_spark.operators.webtext import (
+            quality_classifier_scores,
+        )
+
+        clf_corpus = (
+            corpus.withColumn(
+                "__r", F.explode(F.array_repeat(F.lit(1), WEBTEXT_CLF_MULT))
+            ).drop("__r")
+            if WEBTEXT_CLF_MULT > 1
+            else corpus
+        )
+        clf_tokens = tokens_total * WEBTEXT_CLF_MULT
+        quality_classifier_scores(base.limit(500)).agg(F.sum("n_grams")).first()
+        clf_walls = []
+        for _ in range(repeats):
+            t0 = time.time()
+            quality_classifier_scores(clf_corpus).agg(
+                F.sum("n_grams"), F.sum("quality_prob")
+            ).first()
+            clf_walls.append(time.time() - t0)
         corpus.unpersist()
         spark.stop()
         level_runs[label] = sorted(walls)
@@ -437,6 +465,12 @@ def webtext_scaling_run(repeats: int = SCALE_REPEATS) -> dict:
             ),
             "ceiling_walls_sec": [round(w, 2) for w in ceil_walls],
             "ceiling_best_tokens_per_sec": round(tokens_total / min(ceil_walls)),
+            "classifier_walls_sec": [round(w, 2) for w in clf_walls],
+            "classifier_tokens": int(clf_tokens),
+            "classifier_best_tokens_per_sec": round(clf_tokens / min(clf_walls)),
+            "classifier_median_tokens_per_sec": round(
+                clf_tokens / sorted(clf_walls)[len(clf_walls) // 2]
+            ),
         }
     ratio = out["4N"]["cpus"] / out["N"]["cpus"]
     out["scaling_efficiency"] = round(
@@ -447,6 +481,16 @@ def webtext_scaling_run(repeats: int = SCALE_REPEATS) -> dict:
     out["scaling_efficiency_median"] = round(
         out["4N"]["median_tokens_per_sec"]
         / (ratio * out["N"]["median_tokens_per_sec"]),
+        4,
+    )
+    out["classifier_scaling_efficiency"] = round(
+        out["4N"]["classifier_best_tokens_per_sec"]
+        / (ratio * out["N"]["classifier_best_tokens_per_sec"]),
+        4,
+    )
+    out["classifier_scaling_efficiency_median"] = round(
+        out["4N"]["classifier_median_tokens_per_sec"]
+        / (ratio * out["N"]["classifier_median_tokens_per_sec"]),
         4,
     )
     out["streaming_ceiling_efficiency"] = round(

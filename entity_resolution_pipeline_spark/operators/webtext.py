@@ -50,8 +50,15 @@ C4 (Raffel et al. 2020, §2.2) and CCNet (Wenzek et al. 2020) pipelines:
 * `quality_classifier_scores`
                         — DCLM/LLaMA model-based quality filter: fastText-
                           shaped hashed uni+bigram linear classifier
-                          (functions/quality_model.py), scored entirely in
-                          JVM exprs + one broadcast join.
+                          (functions/quality_model.py); default scoring is
+                          ONE shuffle-free projection (weight array literal
+                          + higher-order aggregate fold), with a broadcast-
+                          join path for big models.
+* `html_to_text`        — WET-style HTML → text extraction: script/style/
+                          comment excision, block tags to newlines, tag
+                          strip, entity unescape, whitespace normalization;
+                          one shuffle-free projection, Java-regex/RE2-
+                          identical patterns.
 
 Scale notes (100 TB): every op is one or two shuffles on uniform keys.
 `gopher_quality` is shuffle-free (per-row exprs).  `repetition_metrics`
@@ -93,6 +100,7 @@ __all__ = [
     "curation_funnel",
     "bigram_logprob",
     "quality_classifier_scores",
+    "html_to_text",
 ]
 
 # PII regexes chosen to behave identically under Java regex (Spark) and RE2
@@ -1157,4 +1165,54 @@ def quality_classifier_scores(
             F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("quality_prob"),
         )
         .select(F.col("id").alias(id_col), "n_grams", "quality_prob")
+    )
+
+
+# ---------------------------------------- HTML -> text extraction
+
+def html_to_text(
+    pages: DataFrame,
+    html_col: str = "html",
+    out_col: str = "extracted_text",
+) -> DataFrame:
+    """Boilerplate-stripping HTML → text extraction (the first stage of
+    every Common-Crawl pipeline: WET-style text from the WARC's raw bytes).
+    Deterministic and engine-portable by construction — every pattern
+    behaves identically under Java regex (Spark) and RE2 (DuckDB): no
+    lookaround, non-greedy + (?is) flags only.
+
+    Steps, in order: UTF-8 decode (binary column supported) → drop
+    <script>/<style>/<!-- --> blocks wholesale → <br>/<p>/<div>/<li>/<tr>
+    and heading closers become newlines (so block structure survives tag
+    stripping) → strip all remaining tags → unescape the six common
+    entities (&amp; LAST, so '&amp;lt;' decodes to the literal '&lt;', not
+    '<') → collapse runs of spaces/tabs, then 3+ newlines to 2, and trim.
+
+    One shuffle-free projection per row — the 100 TB shape is 'read the
+    WARC partition once'; composes with Structured Streaming unchanged."""
+    col = F.col(html_col)
+    # BinaryType html (the input_hint schema) decodes first; StringType
+    # passes through decode() untouched in Spark but not DuckDB, so the
+    # operator accepts either and the oracle synthesizes strings.
+    if dict(pages.dtypes).get(html_col) == "binary":
+        col = F.decode(col, "UTF-8")
+    s = F.coalesce(col, F.lit(""))
+    for pat in (r"(?is)<script[^>]*>.*?</script>",
+                r"(?is)<style[^>]*>.*?</style>",
+                r"(?s)<!--.*?-->"):
+        s = F.regexp_replace(s, pat, " ")
+    s = F.regexp_replace(s, r"(?i)<(br|/p|/div|/li|/tr|/h[1-6])[^>]*>", "\n")
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
+    for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    s = F.regexp_replace(s, r"[ \t]+", " ")
+    s = F.regexp_replace(s, r" ?\n ?", "\n")
+    s = F.regexp_replace(s, r"\n{3,}", "\n\n")
+    # plain trim() strips spaces only in BOTH engines; strip the newline/tab
+    # edges explicitly (same character-set semantics in Spark and DuckDB)
+    return (
+        pages.withColumn("__erx_raw", s)
+        .withColumn(out_col, F.expr("trim(BOTH ' \n\t' FROM __erx_raw)"))
+        .drop("__erx_raw")
     )

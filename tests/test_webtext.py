@@ -822,3 +822,32 @@ def test_quality_classifier_expr_is_shuffle_free_and_streams(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.sql("SELECT * FROM qc_parity").collect()))
     assert got == expected and len(got) == 100
+
+
+# ------------------------------------------------------------- html_to_text
+
+def test_html_to_text_hand_computed(spark):
+    html = (
+        '<html><head><title>T</title><script>var x = "<p>ignore</p>";</script>'
+        "<style>.a{}</style></head><body><!-- c --><h1>Head</h1>"
+        "<p>one &amp; two</p><ul><li>a</li><li>b</li></ul>tail</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    out = W.html_to_text(df).collect()[0]["extracted_text"]
+    assert out == "T Head\none & two\na\nb\ntail"
+
+
+def test_html_to_text_entities_and_binary(spark):
+    html = "<p>&lt;tag&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b &amp;amp;</p>"
+    df = spark.createDataFrame([(1, html.encode())], "doc_id long, html binary")
+    out = W.html_to_text(df).collect()[0]["extracted_text"]
+    # &amp; decodes LAST: '&amp;amp;' -> '&amp;' literal, not '&'
+    assert out == "<tag> \"q\" 's' a b &amp;"
+
+
+def test_html_to_text_null_and_plain(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "no tags at all")], "doc_id long, html string"
+    )
+    rows = {r["doc_id"]: r["extracted_text"] for r in W.html_to_text(df).collect()}
+    assert rows[1] == "" and rows[2] == "no tags at all"

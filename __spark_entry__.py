@@ -999,6 +999,25 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_to_text(pages).select("doc_id", "extracted_text")
 
 
+def q_incremental_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot NEAR-dup dedup: flag every 'new' document (doc_id % 7
+    != 0) with a MinHash-verified Jaccard >= 0.5 neighbor in the 'existing
+    corpus' slice (doc_id % 7 == 0).  Candidates come from the cross-table
+    band join only (no new x new / corpus x corpus pairs).  Oracle
+    validity: same banding-recall argument as fuzzy_dedup_corpus — the
+    fixture's true near-dup pairs sit far above the 0.5 boundary, where
+    the 16x4 S-curve detects them w.p. ~= 1, and the exact-Jaccard verify
+    makes every emitted match exact."""
+    from entity_resolution_pipeline_spark.operators.webtext import (
+        incremental_fuzzy_dedup,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 7 == 0)
+    new = docs.where(F.col("doc_id") % 7 != 0)
+    return incremental_fuzzy_dedup(new, corpus)
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (DCLM/LLaMA recipe): score every doc
     with a fastText-shaped hashed-ngram linear classifier.  The model is
@@ -1398,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "quality_classifier": q_quality_classifier,
         "html_extract": q_html_extract,
+        "incremental_fuzzy_dedup": q_incremental_fuzzy_dedup,
         "fuzzy_dedup_corpus": q_fuzzy_dedup_corpus,
         "fuzzy_dedup_keep_best": q_fuzzy_dedup_keep_best,
         "pii_scan": q_pii_scan,
@@ -2210,6 +2230,29 @@ def oracle_sql() -> dict[str, str]:
                        '\n{3,}', chr(10) || chr(10), 'g') AS s FROM s3)
             SELECT doc_id, trim(s, ' ' || chr(10) || chr(9)) AS extracted_text
             FROM s4
+        """,
+        # exact 5-byte-shingle Jaccard between the slices (same ground truth
+        # as the fuzzy_dedup oracles), restricted to new x corpus pairs
+        "incremental_fuzzy_dedup": f"""
+            WITH s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS s
+                       FROM documents),
+            sh AS (SELECT DISTINCT doc_id, {_poly_terms_sql(5)} AS h
+                   FROM s, unnest(generate_series(1, length(s)-4)) t(i)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            common AS (SELECT a.doc_id l, b.doc_id r, count(*) c
+                       FROM sh a JOIN sh b USING (h)
+                       WHERE a.doc_id % 7 != 0 AND b.doc_id % 7 = 0
+                       GROUP BY 1, 2),
+            matches AS (SELECT l, count(*) AS n
+                        FROM common JOIN sizes sa ON sa.doc_id = l
+                                    JOIN sizes sb ON sb.doc_id = r
+                        WHERE c / (sa.sz + sb.sz - c) >= 0.5
+                        GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(m.n, 0) AS n_corpus_matches,
+                   CAST(m.n IS NULL AS INT) AS kept
+            FROM documents d LEFT JOIN matches m ON m.l = d.doc_id
+            WHERE d.doc_id % 7 != 0
         """,
         # exact semantics of the bloom-gated plan: kept=1 iff the snapshot
         # row's fingerprint is absent from the corpus slice

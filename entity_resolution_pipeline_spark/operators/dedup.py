@@ -611,3 +611,85 @@ def incremental_dedup(
     return flag_against_corpus(
         new_docs, corpus_docs, bloom_bytes, id_col=id_col, text_col=text_col, m_bits=m_bits
     )
+
+
+def minhash_lsh_pairs_cross(
+    left_docs: DataFrame,
+    right_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """minhash_lsh_pairs between TWO corpora (left x right, never left x
+    left): the incremental-crawl form of near-dup detection — band keys
+    from both sides meet in one equi-join, so only cross-table band
+    collisions are ever materialized.  Same three tiers as the self-join
+    variant (band block-join ids-only → signature-estimate prefilter →
+    exact array_intersect verify) and the same banding recall guarantee at
+    `threshold`.  Returns (left_id, right_id, jaccard) with jaccard >=
+    threshold.
+
+    At 10^12-doc scale the right (corpus) side's signatures, band keys and
+    shingle arrays are computed once per snapshot and PERSISTED as tables
+    keyed by band — each new crawl recomputes only its own side and joins
+    against the stored bands; this function recomputes both sides, which
+    is the right shape for the sandbox's in-memory fixtures and keeps the
+    operator self-contained."""
+    from pyspark import StorageLevel
+
+    from ..config import python_stage_width
+    from ..functions.minhash import (
+        make_band_keys_udf,
+        make_minhash_udf,
+        make_shingle_udf,
+    )
+
+    mh = make_minhash_udf(num_hashes=num_hashes, k=shingle_k)
+    bk = make_band_keys_udf(bands=bands)
+    sh = make_shingle_udf(k=shingle_k)
+    width = python_stage_width(left_docs.sparkSession)
+
+    def _prep(docs):
+        base = docs.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("text")
+        ).repartition(width)
+        sigs = base.select("id", mh("text").alias("sig")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        bids = sigs.select("id", F.explode(bk("sig")).alias("key"))
+        arrs = base.select("id", sh("text").alias("sh")).withColumn(
+            "ss", F.size("sh")
+        )
+        return sigs, bids, arrs
+
+    lsigs, lbids, larrs = _prep(left_docs)
+    rsigs, rbids, rarrs = _prep(right_docs)
+
+    cands = (
+        lbids.toDF("left_id", "key")
+        .join(rbids.toDF("right_id", "key"), "key")
+        .select("left_id", "right_id")
+        .dropDuplicates()
+    )
+    est_floor = max(
+        threshold - 3.0 * (threshold * (1.0 - threshold) / num_hashes) ** 0.5, 0.0
+    )
+    eq = F.zip_with("lsig", "rsig", lambda a, b: (a == b).cast("int"))
+    est = F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.lit(num_hashes)
+    pre = (
+        cands.join(lsigs.toDF("left_id", "lsig"), "left_id")
+        .join(rsigs.toDF("right_id", "rsig"), "right_id")
+        .where(est >= est_floor)
+        .select("left_id", "right_id")
+    )
+    j = pre.join(larrs.toDF("left_id", "lsh", "ls"), "left_id").join(
+        rarrs.toDF("right_id", "rsh", "rs"), "right_id"
+    )
+    common = F.size(F.array_intersect("lsh", "rsh"))
+    jac = common / (F.col("ls") + F.col("rs") - common)
+    return j.where(jac >= threshold).select(
+        "left_id", "right_id", F.round(jac, 6).alias("jaccard")
+    )

@@ -59,6 +59,11 @@ C4 (Raffel et al. 2020, §2.2) and CCNet (Wenzek et al. 2020) pipelines:
                           strip, entity unescape, whitespace normalization;
                           one shuffle-free projection, Java-regex/RE2-
                           identical patterns.
+* `incremental_fuzzy_dedup`
+                        — cross-snapshot NEAR-dup flagging: new docs
+                          MinHash-banded against the existing corpus only
+                          (dedup.minhash_lsh_pairs_cross), exact-verified,
+                          one flag join back.
 
 Scale notes (100 TB): every op is one or two shuffles on uniform keys.
 `gopher_quality` is shuffle-free (per-row exprs).  `repetition_metrics`
@@ -101,6 +106,7 @@ __all__ = [
     "bigram_logprob",
     "quality_classifier_scores",
     "html_to_text",
+    "incremental_fuzzy_dedup",
 ]
 
 # PII regexes chosen to behave identically under Java regex (Spark) and RE2
@@ -1215,4 +1221,41 @@ def html_to_text(
         pages.withColumn("__erx_raw", s)
         .withColumn(out_col, F.expr("trim(BOTH ' \n\t' FROM __erx_raw)"))
         .drop("__erx_raw")
+    )
+
+
+# ------------------------------------ incremental (snapshot) fuzzy dedup
+
+def incremental_fuzzy_dedup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup version of the snapshot-vs-corpus dedup (the Dolma
+    cross-snapshot recipe): flag every NEW document that is MinHash-near
+    (exact-verified Jaccard >= threshold) to ANY existing corpus document.
+    Returns (doc_id, n_corpus_matches, kept) for every new document,
+    kept = 1 iff no corpus neighbor reaches the threshold.
+
+    Candidates come from `dedup.minhash_lsh_pairs_cross` — band keys of
+    the two corpora meet in one equi-join, so new x new and corpus x
+    corpus pairs are never generated, and the corpus side's
+    signatures/bands are the precomputable per-snapshot artifact (see the
+    cross-join operator's scale note).  The flag itself is one left join
+    of the new id list against the per-new-id match count."""
+    from .dedup import minhash_lsh_pairs_cross
+
+    pairs = minhash_lsh_pairs_cross(
+        new_docs, corpus_docs, id_col=id_col, text_col=text_col, threshold=threshold
+    )
+    counts = pairs.groupBy("left_id").agg(
+        F.count("*").cast("long").alias("n_corpus_matches")
+    )
+    ids = new_docs.select(F.col(id_col).alias("left_id"))
+    return ids.join(counts, "left_id", "left").select(
+        F.col("left_id").alias(id_col),
+        F.coalesce("n_corpus_matches", F.lit(0)).alias("n_corpus_matches"),
+        F.when(F.col("n_corpus_matches").isNull(), 1).otherwise(0).alias("kept"),
     )

@@ -851,3 +851,62 @@ def test_html_to_text_null_and_plain(spark):
     )
     rows = {r["doc_id"]: r["extracted_text"] for r in W.html_to_text(df).collect()}
     assert rows[1] == "" and rows[2] == "no tags at all"
+
+
+# ------------------------------------------------- incremental_fuzzy_dedup
+
+def test_incremental_fuzzy_dedup_flags_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = _docs(spark, [base, "completely unrelated corpus text about quantum plasma"])
+    new = spark.createDataFrame(
+        [
+            (100, base),                                   # exact dup of corpus 0
+            (101, base + " extra"),                        # near dup of corpus 0
+            (102, "fresh never seen sentence with original words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in W.incremental_fuzzy_dedup(new, corpus).collect()}
+    assert rows[100]["kept"] == 0 and rows[100]["n_corpus_matches"] >= 1
+    assert rows[101]["kept"] == 0
+    assert rows[102]["kept"] == 1 and rows[102]["n_corpus_matches"] == 0
+
+
+def test_incremental_fuzzy_dedup_no_new_x_new_pairs(spark):
+    # two identical NEW docs with no corpus counterpart must BOTH be kept —
+    # the cross join never pairs new with new
+    corpus = _docs(spark, ["totally different corpus content here now"])
+    twin = "the same brand new sentence appearing twice in the snapshot"
+    new = spark.createDataFrame(
+        [(200, twin), (201, twin)], "doc_id long, text string"
+    )
+    out = W.incremental_fuzzy_dedup(new, corpus).collect()
+    assert all(r["kept"] == 1 for r in out) and len(out) == 2
+
+
+def test_minhash_cross_matches_self_join_on_cross_pairs(spark):
+    # the cross variant over (A, B) must emit exactly the self-join variant's
+    # pairs restricted to one id from each side
+    from entity_resolution_pipeline_spark.operators import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = [base, base + " tail", "alpha bravo charlie delta echo foxtrot golf hotel india"]
+    docs = _docs(spark, texts)
+    a = docs.where("doc_id IN (0, 2)")
+    b = docs.where("doc_id = 1")
+    cross = {
+        (r["left_id"], r["right_id"], r["jaccard"])
+        for r in D.minhash_lsh_pairs_cross(a, b).collect()
+    }
+    full = {
+        (r["left_id"], r["right_id"], r["jaccard"])
+        for r in D.minhash_lsh_pairs(docs).collect()
+    }
+    expected = {
+        (l, r, j) for (l, r, j) in full
+        if (l in (0, 2)) != (r in (0, 2))  # one endpoint per side
+    }
+    # cross emits (left=a, right=b) orientation; normalize to (min, max)
+    norm = {(min(l, r), max(l, r), j) for (l, r, j) in cross}
+    expected = {(min(l, r), max(l, r), j) for (l, r, j) in expected}
+    assert norm == expected and len(norm) >= 1

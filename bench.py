@@ -64,6 +64,10 @@ HEADLINE = [
     "bigram_logprob",
     "quality_classifier",
     "incremental_dedup",
+    # r2 continuation (23 → 25): HTML→text extraction, cross-snapshot
+    # near-dup flagging
+    "html_extract",
+    "incremental_fuzzy_dedup",
 ]
 
 

@@ -999,6 +999,16 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_to_text(pages).select("doc_id", "extracted_text")
 
 
+def q_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-then-verify corpus heavy hitters: freqItems (distributed
+    Misra-Gries, one-sided guarantee — no false negatives above support)
+    proposes candidates; an exact candidate-only count thresholds them.
+    Output is exact, so the oracle is a plain GROUP BY ... HAVING."""
+    from entity_resolution_pipeline_spark.operators.webtext import heavy_hitter_words
+
+    return heavy_hitter_words(_read(spark, sf_dir, "documents"), support=0.002)
+
+
 def q_incremental_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot NEAR-dup dedup: flag every 'new' document (doc_id % 7
     != 0) with a MinHash-verified Jaccard >= 0.5 neighbor in the 'existing
@@ -1418,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "html_extract": q_html_extract,
         "incremental_fuzzy_dedup": q_incremental_fuzzy_dedup,
+        "heavy_hitter_words": q_heavy_hitter_words,
         "fuzzy_dedup_corpus": q_fuzzy_dedup_corpus,
         "fuzzy_dedup_keep_best": q_fuzzy_dedup_keep_best,
         "pii_scan": q_pii_scan,
@@ -2230,6 +2241,22 @@ def oracle_sql() -> dict[str, str]:
                        '\n{3,}', chr(10) || chr(10), 'g') AS s FROM s3)
             SELECT doc_id, trim(s, ' ' || chr(10) || chr(9)) AS extracted_text
             FROM s4
+        """,
+        # exact heavy-hitter semantics (the sketch only prunes the count's
+        # input): every word with frequency strictly above support * total
+        "heavy_hitter_words": r"""
+            WITH toks AS (SELECT CASE WHEN length(trim(coalesce(text, ''))) = 0
+                                      THEN []::VARCHAR[]
+                                      ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                                 END AS t
+                          FROM documents),
+            words AS (SELECT unnest(t) AS w FROM toks),
+            tot AS (SELECT CAST(sum(len(t)) AS BIGINT) AS tot FROM toks)
+            SELECT w, count(*) AS cnt,
+                   round(count(*) / any_value(tot), 6) AS frac
+            FROM words CROSS JOIN tot
+            GROUP BY w
+            HAVING count(*) > 0.002 * any_value(tot)
         """,
         # exact 5-byte-shingle Jaccard between the slices (same ground truth
         # as the fuzzy_dedup oracles), restricted to new x corpus pairs

@@ -64,6 +64,10 @@ C4 (Raffel et al. 2020, §2.2) and CCNet (Wenzek et al. 2020) pipelines:
                           MinHash-banded against the existing corpus only
                           (dedup.minhash_lsh_pairs_cross), exact-verified,
                           one flag join back.
+* `heavy_hitter_words`  — sketch-then-verify heavy hitters: distributed
+                          Misra-Gries (`freqItems`, O(1/support) state, no
+                          vocabulary shuffle) proposes candidates, one
+                          candidate-only count makes the output exact.
 
 Scale notes (100 TB): every op is one or two shuffles on uniform keys.
 `gopher_quality` is shuffle-free (per-row exprs).  `repetition_metrics`
@@ -107,6 +111,7 @@ __all__ = [
     "quality_classifier_scores",
     "html_to_text",
     "incremental_fuzzy_dedup",
+    "heavy_hitter_words",
 ]
 
 # PII regexes chosen to behave identically under Java regex (Spark) and RE2
@@ -1258,4 +1263,53 @@ def incremental_fuzzy_dedup(
         F.col("left_id").alias(id_col),
         F.coalesce("n_corpus_matches", F.lit(0)).alias("n_corpus_matches"),
         F.when(F.col("n_corpus_matches").isNull(), 1).otherwise(0).alias("kept"),
+    )
+
+
+# ---------------------------------------- sketch-based heavy hitters
+
+def heavy_hitter_words(
+    docs: DataFrame,
+    text_col: str = "text",
+    support: float = 0.001,
+) -> DataFrame:
+    """Corpus-wide heavy-hitter tokens (stopword discovery, boilerplate
+    token detection, blocklist candidates): every word whose exact corpus
+    frequency EXCEEDS support * total_tokens, found sketch-first —
+
+    1. **Sketch**: `DataFrame.freqItems` runs distributed Misra-Gries /
+       Karp-style counting over the exploded token stream — one pass,
+       O(1/support) state per partition, NO full word-count shuffle.  Its
+       guarantee is one-sided: every item with frequency > support*N is
+       returned (false positives possible, false negatives not).
+    2. **Exact verify**: the <= 1/support candidates broadcast back onto
+       the token stream; one map-side-combined count over candidate rows
+       only, then the exact threshold.
+
+    The output is therefore EXACT (the sketch only prunes the count's
+    input — the same sketch-then-verify contract as the bloom dedup and
+    the LSH estimate prefilter), deterministic at any parallelism, and the
+    full-vocabulary shuffle is replaced by a count over heavy-candidate
+    rows.  At 10^12 docs the full word count shuffles ~10^8 Zipf keys;
+    this plan shuffles only the one-row total and the candidate counts.
+
+    Returns (w, cnt, frac) ordered nowhere (caller sorts), cnt exact."""
+    words = docs.select(F.explode(_tokens(text_col)).alias("w"))
+    cands = [
+        r for r in words.freqItems(["w"], support=support).first()["w_freqItems"]
+        if r is not None
+    ]
+    total = docs.select(F.size(_tokens(text_col)).alias("n")).agg(
+        F.sum("n").alias("tot")
+    )
+    cand_df = F.broadcast(
+        words.sparkSession.createDataFrame([(c,) for c in cands], "w string")
+    )
+    return (
+        words.join(cand_df, "w")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") > F.lit(support) * F.col("tot"))
+        .select("w", "cnt", F.round(F.col("cnt") / F.col("tot"), 6).alias("frac"))
     )

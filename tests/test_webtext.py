@@ -910,3 +910,27 @@ def test_minhash_cross_matches_self_join_on_cross_pairs(spark):
     norm = {(min(l, r), max(l, r), j) for (l, r, j) in cross}
     expected = {(min(l, r), max(l, r), j) for (l, r, j) in expected}
     assert norm == expected and len(norm) >= 1
+
+
+# ------------------------------------------------------- heavy_hitter_words
+
+def test_heavy_hitter_words_hand_computed(spark):
+    # 10 tokens: 'the' x4 (0.4), 'cat' x3 (0.3), 'dog' x2, 'x' x1
+    docs = _docs(spark, ["the the cat dog", "the cat x", "the cat dog"])
+    out = {r["w"]: (r["cnt"], r["frac"]) for r in
+           W.heavy_hitter_words(docs, support=0.25).collect()}
+    assert out == {"the": (4, 0.4), "cat": (3, 0.3)}
+
+
+def test_heavy_hitter_words_strict_threshold(spark):
+    # 'dog' is exactly at support*total (2/10 = 0.2): strictly-above excludes it
+    docs = _docs(spark, ["the the cat dog", "the cat x", "the cat dog"])
+    words = {r["w"] for r in W.heavy_hitter_words(docs, support=0.2).collect()}
+    assert "dog" not in words and {"the", "cat"} <= words
+
+
+def test_heavy_hitter_words_deterministic_across_partitioning(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, W.heavy_hitter_words(docs.repartition(1), support=0.005).collect()))
+    b = sorted(map(tuple, W.heavy_hitter_words(docs.repartition(16), support=0.005).collect()))
+    assert a == b and len(a) > 0

@@ -2296,8 +2296,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Jelinek-Mercer interpolated bigram LM, lam=0.9, trained on the
         # corpus itself — identical count tables and probability expression
-        # as the Spark plan, so doubles agree to well past the 6dp rounding.
-        "bigram_logprob": r"""
+        # as the Spark plan.  The interpolation constants are generated from
+        # the SAME Python floats the Spark side uses (F.lit(lam),
+        # F.lit(1.0 - lam) — note repr(1.0 - 0.9) = 0.09999999999999998, not
+        # 0.1), so the doubles agree to the last ulp, not just to 6dp.
+        "bigram_logprob": rf"""
             WITH toks AS (SELECT doc_id,
                                  CASE WHEN length(trim(coalesce(text, ''))) = 0
                                       THEN []::VARCHAR[]
@@ -2313,7 +2316,7 @@ def oracle_sql() -> dict[str, str]:
             cu AS (SELECT w, count(*) AS cu FROM words GROUP BY 1),
             tot AS (SELECT CAST(sum(len(t)) AS BIGINT) AS tot FROM toks),
             lm AS (SELECT cb.v, cb.w,
-                          ln(0.9 * cb / cv + 0.1 * cu / tot) AS lp
+                          ln({0.9!r} * cb / cv + {1.0 - 0.9!r} * cu / tot) AS lp
                    FROM cb JOIN cv USING (v) JOIN cu USING (w) CROSS JOIN tot)
             SELECT doc_id,
                    count(*) AS n_bigrams,

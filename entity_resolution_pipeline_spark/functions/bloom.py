@@ -45,9 +45,17 @@ def bloom_index_matrix(fps: pd.Series | list, m_bits: int) -> np.ndarray:
 
 def build_bloom(fps: pd.Series | list, m_bits: int, into: np.ndarray | None = None) -> np.ndarray:
     """Set the 4 bits of every fingerprint in an m_bits-bit filter
-    (uint8[m_bits/8]).  Pass `into` to accumulate across Arrow batches
-    without reallocating (the per-partition builder does)."""
-    arr = into if into is not None else np.zeros(m_bits >> 3, dtype=np.uint8)
+    (uint8[ceil(m_bits/8)]).  Pass `into` to accumulate across Arrow batches
+    without reallocating (the per-partition builder does).
+
+    m_bits should be a power of two: the four digest words are reduced
+    `mod m_bits`, so a non-power-of-two m adds modulo bias across them
+    (harmless to exactness — the filter only prunes — but it skews the FPR
+    math in the module docstring).  Any m_bits >= 8 is accepted; the byte
+    allocation rounds up so no bit index can fall outside the array."""
+    if m_bits < 8:
+        raise ValueError(f"m_bits must be >= 8, got {m_bits}")
+    arr = into if into is not None else np.zeros((m_bits + 7) >> 3, dtype=np.uint8)
     if len(fps):
         idx = bloom_index_matrix(fps, m_bits).ravel()
         np.bitwise_or.at(arr, idx >> 3, (np.uint8(1) << (idx & 7).astype(np.uint8)))

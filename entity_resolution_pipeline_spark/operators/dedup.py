@@ -486,7 +486,10 @@ def build_corpus_bloom(
     def _build(batches):
         acc = None
         for pdf in batches:
-            acc = build_bloom(pdf["fingerprint"], m_bits, into=acc)
+            # NULL text -> NULL fingerprint: a NULL never equi-joins, so the
+            # naive path keeps NULL-text rows — drop NULLs from the filter to
+            # preserve that semantics (they are routed to kept=1 in the probe).
+            acc = build_bloom(pdf["fingerprint"].dropna(), m_bits, into=acc)
         if acc is not None:
             yield pd.DataFrame({"bloom": [acc.tobytes()]})
 
@@ -521,7 +524,14 @@ def flag_against_corpus(
     m_bits.  Both branches are stateless projections / stream-static joins,
     so the SAME call composes with Structured Streaming unchanged (new_docs
     streaming, corpus static) — see tests/test_bloom.py.  bloom_bytes=None
-    (empty corpus) keeps everything."""
+    (empty corpus) keeps everything.
+
+    NULL text (NULL fingerprint) matches the naive-join semantics exactly:
+    a NULL never equi-joins, so those rows are kept=1 and never probe the
+    filter.  In batch mode the probed snapshot is persisted so the Arrow
+    probe UDF runs ONCE (the two output branches share the cached rows);
+    streaming keeps the stateless two-branch form (micro-batches are small
+    and persist() is unavailable on a streaming plan)."""
     from ..functions.bloom import probe_bloom
     from ..functions.text_analysis import exact_fingerprint_col
 
@@ -541,16 +551,25 @@ def flag_against_corpus(
         import numpy as np
 
         bloom = np.frombuffer(bc.value, dtype=np.uint8)
-        return pd.Series(probe_bloom(fp, bloom, m_bits))
+        out = np.zeros(len(fp), dtype=bool)
+        mask = fp.notna().to_numpy()
+        if mask.any():
+            out[mask] = probe_bloom(fp[mask], bloom, m_bits)
+        return pd.Series(out)  # NULL fingerprint -> False -> kept=1, no join
 
     corpus_fp = corpus_docs.select(
         exact_fingerprint_col(F.col(text_col)).alias("fingerprint")
     ).dropDuplicates()
-    novel = new_fp.where(~_probe("fingerprint")).select(
+    probed = new_fp.withColumn("__pos", _probe("fingerprint"))
+    if not new_docs.isStreaming:
+        from pyspark import StorageLevel
+
+        probed = probed.persist(StorageLevel.MEMORY_AND_DISK)
+    novel = probed.where(~F.col("__pos")).select(
         "id", "fingerprint", F.lit(1).alias("kept")
     )
     checked = (
-        new_fp.where(_probe("fingerprint"))
+        probed.where(F.col("__pos"))
         .join(corpus_fp.withColumn("__hit", F.lit(1)), "fingerprint", "left")
         .select(
             "id",

@@ -53,6 +53,21 @@ def test_bloom_index_matrix_rejects_bad_fp():
         bloom_index_matrix(["deadbeef"], M)
 
 
+def test_build_bloom_rejects_tiny_m_bits():
+    with pytest.raises(ValueError):
+        build_bloom(pd.Series(_fps("m", 4)), 4)
+
+
+def test_build_bloom_non_multiple_of_8_rounds_up():
+    # m_bits=1000 -> 125.0 bytes exactly, but m_bits=1001..1007 must NOT
+    # under-allocate: bit index m_bits-1 lands in byte (m_bits-1)>>3
+    members = _fps("m", 500)
+    for m in (1000, 1001, 1007):
+        bloom = build_bloom(pd.Series(members), m)
+        assert len(bloom) == (m + 7) >> 3
+        assert probe_bloom(pd.Series(members), bloom, m).all()
+
+
 def _snapshot_tables(spark):
     corpus = spark.createDataFrame(
         [(i, f"shared text {i % 5}") for i in range(10)], "doc_id long, text string"
@@ -92,6 +107,25 @@ def test_incremental_dedup_tiny_filter_still_exact(spark):
     new, corpus = _snapshot_tables(spark)
     out = {r["doc_id"]: r["kept"] for r in incremental_dedup(new, corpus, m_bits=64).collect()}
     assert sum(out.values()) == 15
+
+
+def test_incremental_dedup_null_text_matches_naive(spark):
+    """NULL text -> NULL fingerprint.  A NULL never equi-joins, so the naive
+    path keeps those rows (kept=1); the bloom path must agree: NULLs are
+    dropped from the corpus filter build and routed straight to kept=1 on
+    the probe side (never a corpus match)."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, "beta")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "alpha"), (11, None), (12, "gamma"), (13, None)],
+        "doc_id long, text string",
+    )
+    with_bloom = sorted(map(tuple, incremental_dedup(new, corpus).collect()))
+    naive = sorted(map(tuple, incremental_dedup(new, corpus, use_bloom=False).collect()))
+    assert with_bloom == naive
+    kept = {t[0]: t[2] for t in with_bloom}
+    assert kept == {10: 0, 11: 1, 12: 1, 13: 1}
 
 
 def test_incremental_dedup_streaming_batch_parity(spark, tmp_path):

@@ -690,17 +690,23 @@ def lm_quality_buckets(
     No global sort: the two cut points come from ONE 1-row exact-percentile
     aggregate folded back via a broadcast crossJoin — at 10^12 docs the
     common ntile/window formulation would globally sort the corpus; this
-    never does.  The scoring lineage is evaluated twice (threshold agg +
-    bucketing side); at corpus scale persist the scored table across the
-    two consumers, and swap `percentile` for `percentile_approx` to make
-    the cut-agg single-pass-mergeable — the plan shape is unchanged.
+    never does.  The scored table feeds two consumers (threshold agg +
+    bucketing side), so the operator persists it (MEMORY_AND_DISK) — the
+    unigram word-count shuffle runs ONCE: the broadcast threshold subtree
+    materializes the cache, the bucketing scan reuses it.  At corpus scale
+    additionally swap `percentile` for `percentile_approx` to make the
+    cut-agg single-pass-mergeable — the plan shape is unchanged.
     Comparisons are strict-< against the interpolated thresholds on the
     6dp-rounded scores (identical classification in the DuckDB oracle,
     which uses quantile_cont — the same linear interpolation).  Zero-token
     documents carry no score and are excluded (as in CCNet, which scores
     only tokenizable text).
     """
-    scored = unigram_logprob(docs, id_col=id_col, text_col=text_col)
+    from pyspark import StorageLevel
+
+    scored = unigram_logprob(docs, id_col=id_col, text_col=text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     th = scored.agg(
         F.percentile("avg_logprob", F.lit(list(cuts))).alias("th")
     )
@@ -899,20 +905,72 @@ def blocklist_filter(
     blocked: list,
     url_col: str = "url",
     keep: bool = False,
+    expr_max_entries: int = 64,
 ) -> DataFrame:
     """C4-style URL blocklist: a page is blocked when its host equals a
     blocklist entry OR is a subdomain of one (suffix match on '.entry').
     Adds `host` and `blocked` (0/1); `keep=True` additionally drops blocked
-    rows.  Shuffle-free — the blocklist compiles into a per-row OR chain
-    (blocklists are O(10^5): for larger lists switch to a broadcast join on
-    a suffix-normalized key)."""
+    rows.
+
+    Two physical shapes, identical output (pinned in test_webtext), selected
+    by list size:
+
+    * <= `expr_max_entries`: the list compiles into a shuffle-free per-row
+      OR chain — zero joins, right for small curated lists.
+    * larger (the real C4 blocklist is ~4x10^5 hosts — an OR chain that big
+      blows the codegen method limit): each DISTINCT host explodes into its
+      dot-boundary parent-domain suffix chain ('a.b.com' -> a.b.com, b.com,
+      com) and broadcast-hash-joins the entry list (left_semi) — a host is
+      blocked iff some suffix IS an entry, exactly the equals-or-'.entry'
+      predicate.  The corpus itself NEVER shuffles: the only shuffle is the
+      dedup over distinct hosts (O(10^8) short strings at Common-Crawl
+      scale, trivial vs the corpus), and the blocked-host dimension joins
+      back broadcast.  Blocked hosts are bounded by the distinct hosts that
+      actually match — if a corpus somehow exceeds the broadcast budget
+      there, pre-filter the blocklist to observed TLDs or shard it.
+    """
     host = host_of(url_col)
-    cond = F.lit(False)
-    for b in blocked:
-        b = b.lower()
-        cond = cond | (host == b) | host.endswith("." + b)
-    out = df.withColumn("host", host).withColumn(
-        "blocked", cond.cast("int")
+    if len(blocked) <= expr_max_entries:
+        cond = F.lit(False)
+        for b in blocked:
+            b = b.lower()
+            cond = cond | (host == b) | host.endswith("." + b)
+        out = df.withColumn("host", host).withColumn(
+            "blocked", cond.cast("int")
+        )
+        return out.where(F.col("blocked") == 0) if keep else out
+
+    spark = df.sparkSession
+    entries = spark.createDataFrame(
+        [(b.lower(),) for b in sorted(set(blocked))], "suf string"
+    )
+    base = df.withColumn("host", host)
+    suffix_chain = F.expr(
+        "transform(sequence(1, size(__hp)),"
+        " i -> array_join(slice(__hp, i, size(__hp) - i + 1), '.'))"
+    )
+    hit_hosts = (
+        base.select("host")
+        .where(F.col("host").isNotNull())
+        .dropDuplicates()
+        .withColumn("__hp", F.split("host", r"\."))
+        .select("host", F.explode(suffix_chain).alias("suf"))
+        .join(F.broadcast(entries), "suf", "left_semi")
+        .select("host")
+        .dropDuplicates()
+        .withColumn("__b", F.lit(1))
+    )
+    out = (
+        base.join(F.broadcast(hit_hosts), "host", "left")
+        .withColumn(
+            "blocked",
+            # NULL host stays NULL-blocked, matching the OR chain's
+            # three-valued (NULL == entry) semantics exactly
+            F.when(F.col("host").isNull(), F.lit(None).cast("int")).otherwise(
+                F.coalesce(F.col("__b"), F.lit(0)).cast("int")
+            ),
+        )
+        .select(*df.columns, "host", "blocked")
     )
     return out.where(F.col("blocked") == 0) if keep else out
 
@@ -965,11 +1023,16 @@ def curation_funnel(
     as in a real pipeline — filters change what counts as a duplicate.
 
     Each stage is a 1-row aggregate over a successively filtered lineage;
-    Spark compiles the union into one plan with shared scan branches.  At
-    100 TB a caller materializes the stage-2 survivor set once (it feeds
-    three branches); the funnel itself adds only per-stage scalar aggs to
-    the battery's own cost.
+    Spark compiles the union into one plan with shared scan branches.  The
+    two lineages consumed more than once are persisted INSIDE the operator
+    (MEMORY_AND_DISK): the stage-2 survivor set (feeds its own agg + the
+    span-dedup corpus-frequency stages) and the span-excised table (feeds
+    the stage-3 agg + the exact-dedup representative agg) — each expensive
+    subtree evaluates once, the funnel itself adds only per-stage scalar
+    aggs to the battery's own cost.
     """
+    from pyspark import StorageLevel
+
     n_tok = F.size(_tokens(text_col)).cast("long")
 
     def _stage(df, i, name, tok_expr):
@@ -988,7 +1051,9 @@ def curation_funnel(
         .where(F.col("passes") == 1)
         .select(id_col)
     )
-    surv1 = docs.join(passing, id_col, "left_semi")
+    surv1 = docs.join(passing, id_col, "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if badwords:
         ok = (
             badwords_filter(surv1, list(badwords), id_col=id_col, text_col=text_col)
@@ -998,9 +1063,10 @@ def curation_funnel(
         surv2 = surv1.join(ok, id_col, "left_semi")
     else:
         surv2 = surv1
+    surv2 = surv2.persist(StorageLevel.MEMORY_AND_DISK)
     cleaned = remove_dup_spans(
         surv2, id_col=id_col, text_col=text_col, k=k, min_count=min_count
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     kept_tok = (F.col("n_tokens") - F.col("n_removed")).cast("long")
     reps = cleaned.groupBy("clean_text").agg(F.min(kept_tok).alias("ct"))
     return (

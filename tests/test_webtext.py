@@ -628,6 +628,66 @@ def test_host_of_and_blocklist(spark):
     assert {r["doc_id"] for r in kept.collect()} == {2, 3}
 
 
+def test_blocklist_broadcast_path_matches_or_chain(spark):
+    """The two physical shapes (per-row OR chain vs suffix-explode broadcast
+    join) must agree row-for-row, including the NULL-url and empty-host
+    edges and subdomain-vs-substring distinctions (evilexample.com is NOT
+    blocked by example.com)."""
+    rows = spark.createDataFrame(
+        [
+            (0, "https://www.example.com/a"),
+            (1, "http://sub.deep.example.com/b"),
+            (2, "https://evilexample.com/c"),  # substring, not subdomain
+            (3, "https://example.org/d"),
+            (4, None),
+            (5, "not a url at all"),  # empty host
+            (6, "https://ads.net:8080/x"),
+        ],
+        "doc_id long, url string",
+    )
+    bl = ["example.com", "ads.net"]
+    or_chain = sorted(map(tuple, W.blocklist_filter(rows, bl).collect()))
+    bcast = sorted(
+        map(tuple, W.blocklist_filter(rows, bl, expr_max_entries=0).collect())
+    )
+    assert bcast == or_chain
+    by_id = {t[0]: t for t in bcast}
+    assert by_id[0][-1] == 1 and by_id[1][-1] == 1  # exact + deep subdomain
+    assert by_id[2][-1] == 0 and by_id[3][-1] == 0
+    assert by_id[6][-1] == 1
+    # keep=True drops blocked rows identically in both shapes
+    kept = W.blocklist_filter(rows, bl, keep=True, expr_max_entries=0)
+    assert {r["doc_id"] for r in kept.collect()} == {2, 3, 5}
+
+
+def test_blocklist_broadcast_path_at_real_list_size(spark):
+    """A C4-sized list (50k entries) — far past any codegen OR chain — runs
+    through the broadcast-join path; the plan must contain a
+    BroadcastHashJoin and the output must match a pure-Python oracle."""
+    blocked = [f"blocked{i}.example{i % 97}.com" for i in range(50_000)]
+    urls = (
+        [(i, f"https://sub.blocked{i * 7}.example{(i * 7) % 97}.com/x") for i in range(400)]
+        + [(1000 + i, f"https://clean{i}.org/y") for i in range(400)]
+    )
+    rows = spark.createDataFrame(urls, "doc_id long, url string")
+    out = W.blocklist_filter(rows, blocked)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    bset = set(blocked)
+
+    def _oracle(url):
+        host = url.split("://", 1)[1].split("/", 1)[0]
+        parts = host.split(".")
+        return int(any(".".join(parts[i:]) in bset for i in range(len(parts))))
+
+    got = {r["doc_id"]: r["blocked"] for r in out.collect()}
+    expected = {i: _oracle(u) for i, u in urls}
+    assert got == expected
+    assert sum(v for k, v in expected.items() if k < 1000) > 0  # some blocked
+    assert all(expected[k] == 0 for k in expected if k >= 1000)
+
+
 def test_badwords_filter_counts_occurrences(spark):
     out = {
         r["doc_id"]: r

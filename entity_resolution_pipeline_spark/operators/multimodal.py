@@ -5,11 +5,13 @@ Treats media as opaque `binary` columns plus typed metadata — the layout a
 text, decode deferred to Arrow-batched UDFs near the consumer).
 
 The Spark-side plumbing here is real and tested: schemas, `mapInPandas`
-batch shapes, partition-preserving transforms, and deterministic fake
-feature extraction.  The actual codec calls are STUBS — this container ships
-no image/audio libraries — each clearly marked and guarded by an import-try
-so dropping in Pillow/torchaudio activates the real path without any
-pipeline change.
+batch shapes, partition-preserving transforms.  IMAGE decode is real
+(Pillow if installed, else the stdlib baseline-PNG codec in
+functions/minipng.py) and AUDIO decode is real (stdlib `wave` PCM parsing
+in functions/miniwav.py) — both featurize actual decoded content.  Only
+the VIDEO tower remains a deterministic content-hash stand-in (no video
+codec ships anywhere in the stdlib), clearly marked below; dropping in a
+codec activates the real path without any pipeline change.
 """
 
 from __future__ import annotations
@@ -121,11 +123,37 @@ def _image_feature(px: np.ndarray, dim: int) -> np.ndarray:
     return (v / n if n > 0 else v).astype(np.float32)
 
 
+def _decode_audio(data: bytes):
+    """bytes → ((n, ch) float samples, rate), or None if not decodable PCM
+    WAV (functions/miniwav.py — stdlib `wave`, no third-party codec)."""
+    if not data:
+        return None
+    from ..functions.miniwav import decode_wav
+
+    try:
+        return decode_wav(data)
+    except ValueError:
+        return None
+
+
+def _audio_feature(samples: np.ndarray, rate: int, dim: int) -> np.ndarray:
+    """REAL decoded-audio descriptor: duration, per-channel RMS +
+    zero-crossing rate, mean/std, 8 relative spectral-band energies
+    (functions/miniwav.audio_features), tiled/truncated to `dim` and
+    L2-normalized — mirrors `_image_feature`'s shape contract."""
+    from ..functions.miniwav import audio_features
+
+    v = np.resize(audio_features(samples, rate), dim)
+    n = np.linalg.norm(v)
+    return (v / n if n > 0 else v).astype(np.float32)
+
+
 def _fake_feature(data: bytes, dim: int) -> np.ndarray:
-    """Deterministic stand-in for NON-IMAGE towers (audio/video embedding
-    models don't ship in this container): seed a PRNG from the content hash.
-    Deterministic so tests can assert exact values and partition-invariance;
-    images take the real decode path (_image_feature)."""
+    """Deterministic stand-in for the VIDEO tower (no video codec ships in
+    this container) and for undecodable image/audio bytes: seed a PRNG from
+    the content hash.  Deterministic so tests can assert exact values and
+    partition-invariance; images and audio take the real decode paths
+    (_image_feature / _audio_feature)."""
     seed = zlib.crc32(data) if data else 0
     rng = np.random.Generator(np.random.PCG64(seed))
     v = rng.standard_normal(dim)
@@ -137,9 +165,10 @@ def extract_media_features(media: DataFrame, dim: int = 64) -> DataFrame:
 
     Image rows are REALLY decoded (Pillow if installed, else the stdlib
     baseline-PNG decoder) and featurized from their pixels
-    (`_image_feature`); rows whose bytes don't decode — and audio/video,
-    whose embedding towers don't ship in this container — get the
-    deterministic content-hash-seeded stand-in (`_fake_feature`).
+    (`_image_feature`); audio rows are REALLY decoded (stdlib `wave` PCM)
+    and featurized from their samples (`_audio_feature`); rows whose bytes
+    don't decode — and video, whose codec doesn't ship in this container —
+    get the deterministic content-hash-seeded stand-in (`_fake_feature`).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -151,10 +180,14 @@ def extract_media_features(media: DataFrame, dim: int = 64) -> DataFrame:
                 b = bytes(data) if data is not None else b""
                 hashes.append(hashlib.md5(b).hexdigest())
                 sizes.append(len(b))
-                px = _decode_image(b) if kind == "image" else None
-                feats.append(
-                    (_image_feature(px, dim) if px is not None else _fake_feature(b, dim)).tolist()
-                )
+                f = None
+                if kind == "image":
+                    px = _decode_image(b)
+                    f = _image_feature(px, dim) if px is not None else None
+                elif kind == "audio":
+                    au = _decode_audio(b)
+                    f = _audio_feature(au[0], au[1], dim) if au is not None else None
+                feats.append((f if f is not None else _fake_feature(b, dim)).tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -233,9 +266,11 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 def synthetic_media_df(spark, n: int = 64, partitions: int = 4) -> DataFrame:
     """Deterministic fake media table for tests/benchmarks.  Image rows
     carry REAL encoded PNGs (seeded gradient+noise pixels through
-    minipng.encode_png) so the decode path runs on actual image bytes;
-    audio/video rows carry seeded opaque payloads."""
+    minipng.encode_png) and audio rows REAL 16-bit PCM WAVs (seeded sine
+    mixture + noise through miniwav.encode_wav) so both decode paths run on
+    actual bytes; video rows carry seeded opaque payloads (no codec)."""
     from ..functions.minipng import encode_png
+    from ..functions.miniwav import encode_wav
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "audio", "video"]
@@ -254,10 +289,24 @@ def synthetic_media_df(spark, n: int = 64, partitions: int = 4) -> DataFrame:
                     ).astype(np.uint8)
                     px ^= rng.integers(0, 16, size=px.shape, dtype=np.uint8)
                     payload = encode_png(px)
+                    duration_ms = None
+                elif kind == "audio":
+                    rate = 8000
+                    nch = 1 + (i % 2)
+                    nsamp = 400 + (i % 5) * 80
+                    t = np.arange(nsamp) / rate
+                    chans = [
+                        0.6 * np.sin(2 * np.pi * (220 + 55 * ((i + ch) % 7)) * t)
+                        + 0.05 * rng.standard_normal(nsamp)
+                        for ch in range(nch)
+                    ]
+                    payload = encode_wav(np.stack(chans, axis=1), rate)
+                    duration_ms = int(round(1000.0 * nsamp / rate))  # true duration
                 else:
                     payload = rng.integers(
                         0, 256, size=128 + (i % 64), dtype=np.uint8
                     ).tobytes()
+                    duration_ms = 2500 + (i % 10) * 500
                 if kind == "image":
                     width, height = w, h  # true decoded dimensions
                 elif kind == "video":
@@ -272,7 +321,7 @@ def synthetic_media_df(spark, n: int = 64, partitions: int = 4) -> DataFrame:
                         "bytes": payload,
                         "width": width,
                         "height": height,
-                        "duration_ms": 2500 + (i % 10) * 500 if kind != "image" else None,
+                        "duration_ms": duration_ms,
                     }
                 )
             yield pd.DataFrame(rows)

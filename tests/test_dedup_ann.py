@@ -187,6 +187,100 @@ def test_media_features_plumbing(spark):
     assert sorted(r["content_hash"] for r in m1.collect()) == sorted(r["content_hash"] for r in rows)
 
 
+def test_wav_codec_roundtrip():
+    """Pure-stdlib WAV codec: encode → decode recovers samples within 16-bit
+    quantization for mono and stereo; 8/24/32-bit decode paths agree with a
+    hand-built reference; non-WAV bytes raise ValueError."""
+    import struct
+    import wave as wavemod
+    import io
+
+    from entity_resolution_pipeline_spark.functions import miniwav
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    for nch in (1, 2):
+        x = np.clip(rng.standard_normal((500, nch)) * 0.3, -1, 1)
+        out, rate = miniwav.decode_wav(miniwav.encode_wav(x, 8000))
+        assert rate == 8000 and out.shape == (500, nch)
+        assert np.abs(out - x).max() < 1.5 / 32768
+    # 8-bit roundtrip (coarser quantization)
+    x = np.clip(rng.standard_normal(200) * 0.3, -1, 1)
+    out, _ = miniwav.decode_wav(miniwav.encode_wav(x, 4000, sampwidth=1))
+    assert np.abs(out[:, 0] - x).max() < 1.5 / 127
+    # 24-bit and 32-bit decode vs hand-packed frames
+    vals = [-8388608, -1, 0, 1, 8388607]
+    buf = io.BytesIO()
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(8000)
+        w.writeframes(b"".join(struct.pack("<i", v)[:3] for v in vals))
+    out, _ = miniwav.decode_wav(buf.getvalue())
+    assert np.allclose(out[:, 0], np.array(vals) / 8388608.0)
+    vals32 = [-(2**31), -1, 0, 1, 2**31 - 1]
+    buf = io.BytesIO()
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(4)
+        w.setframerate(8000)
+        w.writeframes(b"".join(struct.pack("<i", v) for v in vals32))
+    out, _ = miniwav.decode_wav(buf.getvalue())
+    assert np.allclose(out[:, 0], np.array(vals32) / 2**31)
+    import pytest
+
+    with pytest.raises(ValueError):
+        miniwav.decode_wav(b"definitely not RIFF")
+
+
+def test_audio_features_are_real(spark):
+    """Audio rows must be featurized from DECODED SAMPLES, not the content
+    hash: the operator output equals a direct decode+featurize of the same
+    bytes, differs from the hash-seeded stand-in, and a corrupt WAV falls
+    back to the stand-in without a task abort."""
+    from entity_resolution_pipeline_spark.functions import miniwav
+    from entity_resolution_pipeline_spark.operators.multimodal import (
+        MEDIA,
+        _fake_feature,
+        extract_media_features,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    good = miniwav.encode_wav(np.clip(rng.standard_normal(600) * 0.4, -1, 1), 8000)
+    corrupt = good[:40]  # RIFF header survives, frames truncated mid-chunk
+    df = spark.createDataFrame(
+        [
+            (0, "audio", "audio/wav", bytearray(good), None, None, 75),
+            (1, "audio", "audio/wav", bytearray(corrupt), None, None, 75),
+        ],
+        MEDIA,
+    )
+    out = {r["media_id"]: np.array(r["feature"]) for r in extract_media_features(df, dim=16).collect()}
+    samples, rate = miniwav.decode_wav(good)
+    expected = np.resize(miniwav.audio_features(samples, rate), 16)
+    expected = (expected / np.linalg.norm(expected)).astype(np.float32)
+    assert np.allclose(out[0], expected, atol=1e-6)
+    assert not np.allclose(out[0], _fake_feature(good, 16), atol=1e-3)
+    assert np.allclose(out[1], _fake_feature(bytes(corrupt), 16), atol=1e-6)
+
+
+def test_synthetic_audio_rows_decode_end_to_end(spark):
+    """synthetic_media_df audio payloads are REAL WAVs: every audio row
+    decodes, its metadata duration matches the decoded duration, and two
+    different rows produce different features."""
+    from entity_resolution_pipeline_spark.functions import miniwav
+
+    media = multimodal.synthetic_media_df(spark, 12)
+    audio = [r for r in media.collect() if r["kind"] == "audio"]
+    assert audio
+    feats = {}
+    for r in audio:
+        samples, rate = miniwav.decode_wav(bytes(r["bytes"]))
+        assert r["duration_ms"] == int(round(1000.0 * samples.shape[0] / rate))
+        feats[r["media_id"]] = np.resize(miniwav.audio_features(samples, rate), 16)
+    vals = list(feats.values())
+    assert not np.allclose(vals[0], vals[1])
+
+
 def test_video_frame_sampling(spark):
     media = multimodal.synthetic_media_df(spark, 9)
     frames = multimodal.sample_video_frames(media, every_ms=1000)

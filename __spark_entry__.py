@@ -1358,6 +1358,114 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_funnel(prepped, badwords=("dup",), k=8, min_count=2)
 
 
+# Snapshot-curation fixture (SQL-expressible so the oracle rebuilds the
+# identical input).  Captures: doc_id % 17 == 3 rows are a SECOND capture of
+# the previous row's URL (latest wins).  Hosts: k % 10 == 4 pages live on a
+# blocked subdomain.  Cross-snapshot exact duplicates: doc_id % 350 in (0,1)
+# rows share one page text per pair ('issue <pair key>'), landing one member
+# in the prior snapshot (k % 7 == 0 — every multiple of 350 is) and one in
+# the new snapshot.  Mirrored _FUNNEL_PAGE rows (%13==1) are wiped by span
+# excision; the universal footer is excised from every page.
+_SNAPSHOT_PAGE = (
+    "this archive page preserves a complete copy of the weekly bulletin for "
+    "long term reference and the editors keep every issue of the bulletin "
+    "online so that readers can search the full record of past announcements "
+    "and verify the exact wording of any notice that appeared in print "
+    "during the year"
+)
+_CURATE_HTML_PRE = (
+    '<html><head><title>Article</title><script type="text/javascript">'
+    "var x = 1 < 2;</script><style>.nav{color:red}</style></head><body>"
+    '<!-- header --><div class="nav">Home | About</div><p>'
+)
+_CURATE_HTML_POST = (
+    "</p><ul><li>first</li><li>second &amp; third</li></ul></body></html>"
+)
+_CURATE_RATES = (("head", 1.0), ("middle", 0.5), ("tail", 0.2))
+_CURATE_BUDGET = 400
+
+
+def _curate_pages(docs: DataFrame) -> DataFrame:
+    """(k, url, warc_ts, html) capture rows for the snapshot-curation
+    fixture — every branch is a doc_id modulus, so the DuckDB oracle
+    rebuilds the byte-identical input."""
+    k = (
+        F.col("doc_id")
+        - F.when(F.col("doc_id") % 17 == 3, F.lit(1)).otherwise(F.lit(0))
+    ).alias("k")
+    body = F.concat(
+        F.when(
+            (F.col("doc_id") % 350).isin(0, 1) & (F.col("doc_id") >= 350),
+            F.concat(
+                F.lit(_SNAPSHOT_PAGE + " issue "),
+                (F.col("doc_id") - F.col("doc_id") % 350).cast("string"),
+            ),
+        )
+        .when(F.col("doc_id") % 13 == 1, F.lit(_FUNNEL_PAGE))
+        .otherwise(F.coalesce(F.col("text"), F.lit(""))),
+        F.lit(" " + _FUNNEL_FOOTER),
+    )
+    kk = F.col("k")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.when(kk % 10 == 4, F.lit("ads.SPAM.example.net")).otherwise(
+            F.lit("WWW.News.Example.ORG:443")
+        ),
+        F.lit("/article/"),
+        kk.cast("string"),
+        F.when(kk % 3 == 0, F.lit("?utm_source=feed"))
+        .when(kk % 3 == 1, F.lit("?gclid=abc&ref=1"))
+        .otherwise(F.lit("")),
+        F.when(kk % 4 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    return docs.select(k, F.col("doc_id"), "text").select(
+        "k",
+        url.alias("url"),
+        F.timestamp_seconds(F.col("doc_id")).alias("warc_ts"),
+        F.concat(F.lit(_CURATE_HTML_PRE), body, F.lit(_CURATE_HTML_POST)).alias(
+            "html"
+        ),
+    )
+
+
+def _curate_cfg():
+    from entity_resolution_pipeline_spark.plans.curation import CurationConfig
+
+    return CurationConfig(
+        blocked_domains=("spam.example.net",),
+        badwords=("dup",),
+        bucket_rates=_CURATE_RATES,
+        pack_budget_tokens=_CURATE_BUDGET,
+    )
+
+
+def q_snapshot_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed snapshot-curation pipeline END TO END as one plan
+    (plans/curation.py — the `main.py --stage curate` chain run in memory):
+    WET extraction → latest capture per canonical URL → URL blocklist →
+    Gopher gate → badwords → PII redaction → exact-substring span excision →
+    exact + fuzzy dedup against the PRIOR snapshot (k % 7 == 0 slice, itself
+    run through the same cleaning chain) → CCNet quality buckets →
+    deterministic mixture sampling → token-budget packing.  Output: the
+    10-row survival funnel, each stage pinned by (doc count, token sum,
+    kept-set md5 checksum) — the DuckDB oracle replays the ENTIRE chain."""
+    from entity_resolution_pipeline_spark.plans.curation import (
+        build_clean_snapshot,
+        curate_snapshot_frames,
+        snapshot_funnel,
+    )
+
+    cfg = _curate_cfg()
+    pages = _curate_pages(_read(spark, sf_dir, "documents"))
+    new_pages = pages.where(F.col("k") % 7 != 0).drop("k")
+    prior_pages = pages.where(F.col("k") % 7 == 0).drop("k")
+    prior_clean = build_clean_snapshot(prior_pages, cfg)["clean"].select(
+        "doc_id", "clean_text"
+    )
+    frames = curate_snapshot_frames(new_pages, prior_clean, cfg)
+    return snapshot_funnel(frames)
+
+
 def q_badword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 §2.2 bad-word page filter at token granularity (the list here is
     mid-frequency corpus vocabulary so the split is non-trivial at every
@@ -1442,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_block_stats": q_domain_block_stats,
         "badword_filter": q_badword_filter,
         "curation_funnel": q_curation_funnel,
+        "snapshot_curation": q_snapshot_curation,
     }
 
 
@@ -1615,6 +1724,216 @@ SELECT record_id, CAST(n_donors AS BIGINT) AS n_donors, vec_mean, vec_norm
 FROM agg JOIN nd USING (record_id)
 """
     )
+
+
+def _curate_slice_sql(p: str, pred: str) -> str:
+    """CTE block replaying plans/curation.py's latest→blocklist→gopher→
+    badwords→redact→span-excision chain over one snapshot slice of the
+    shared `ext` capture table (prefix `p` namespaces the CTEs).  Every
+    piece is the proven per-operator oracle: latest_capture (arg_max),
+    host_of (regexp chain), gopher/badwords (curation_funnel), redact_pii
+    (PII_PATTERNS replay), remove_dup_spans (gram-hash count + semi-join
+    coverage)."""
+    from entity_resolution_pipeline_spark.operators.webtext import PII_PATTERNS
+
+    red = "text"
+    for pat, repl in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    toks = (
+        "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+        "ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END"
+    )
+    return f"""
+    {p}lat AS (SELECT curl AS doc_id, count(*) AS n_captures,
+                      arg_max(text, seq) AS text, arg_max(url, seq) AS url
+               FROM ext WHERE {pred} GROUP BY 1),
+    {p}hst AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(
+                   regexp_extract(lower(url), '^[a-z][a-z0-9+.\\-]*://([^/?#]+)', 1),
+                   '^[^@]*@', '', 'g'), ':\\d+$', '', 'g'), '^www\\.', '', 'g')
+                   AS host
+               FROM {p}lat),
+    {p}blk AS (SELECT doc_id, url, text FROM {p}hst
+               WHERE NOT (host = 'spam.example.net'
+                          OR host LIKE '%.spam.example.net')),
+    {p}m AS (SELECT doc_id, url, text, toks, len(toks) AS n,
+                    coalesce(list_sum(list_transform(toks, w -> length(w))), 0)
+                        AS sum_len,
+                    len(list_filter(toks, w -> list_contains({_STOPWORDS_SQL}, w)))
+                        AS n_stop,
+                    len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+                        AS n_alpha,
+                    len(list_filter(toks, x -> x IN ('dup'))) AS n_bad
+             FROM (SELECT doc_id, url, text, {toks} AS toks FROM {p}blk)),
+    {p}gop AS (SELECT doc_id, url, text, n, n_bad FROM {p}m
+               WHERE n BETWEEN 50 AND 100000
+                 AND sum_len / greatest(n, 1)
+                     BETWEEN 3.0::DOUBLE AND 10.0::DOUBLE
+                 AND n_stop >= 2
+                 AND n_alpha / greatest(n, 1) >= 0.8::DOUBLE),
+    {p}qual AS (SELECT doc_id, url, {red} AS text
+                FROM {p}gop WHERE n_bad = 0),
+    {p}b3 AS (SELECT doc_id, toks, len(toks) AS n
+              FROM (SELECT doc_id, {toks} AS toks FROM {p}qual)),
+    {p}g AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+                    substr(md5(array_to_string(toks[pos : pos + 7], ' ')), 1, 16)
+                        AS h
+             FROM (SELECT doc_id, toks, unnest(range(1, n - 8 + 2)) AS pos
+                   FROM {p}b3 WHERE n >= 8)),
+    {p}d AS (SELECT h FROM {p}g GROUP BY h HAVING count(*) >= 2),
+    {p}cov AS (SELECT DISTINCT g.doc_id, g.pos + o.o AS pp
+               FROM {p}g g JOIN {p}d USING (h), range(0, 8) o(o)),
+    {p}px AS (SELECT doc_id, unnest(toks) AS tok,
+                     generate_subscripts(toks, 1) AS pp
+              FROM {p}b3),
+    {p}clean AS (SELECT px.doc_id, q.url, count(*) AS n_kept,
+                        string_agg(px.tok, ' ' ORDER BY px.pp) AS clean_text
+                 FROM {p}px px
+                 LEFT JOIN {p}cov cov
+                   ON cov.doc_id = px.doc_id AND cov.pp = px.pp
+                 JOIN {p}qual q ON q.doc_id = px.doc_id
+                 WHERE cov.doc_id IS NULL
+                 GROUP BY 1, 2)"""
+
+
+def _snapshot_curation_sql() -> str:
+    """Full-chain DuckDB replay of q_snapshot_curation: page synthesis,
+    WET extraction, the cleaning chain on BOTH snapshot slices, exact +
+    fuzzy cross-snapshot dedup, quality buckets, mixture sampling and
+    packing — emitting the same 10 pinned funnel rows."""
+    h32 = "('0x' || substr(md5({c}), 1, 8))::BIGINT"
+    ntok = (
+        "CASE WHEN length(trim({c})) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim({c}), '\\s+')) END"
+    )
+    rate_case = " ".join(
+        f"WHEN '{b}' THEN {r!r}::DOUBLE" for b, r in _CURATE_RATES
+    )
+    fp = "md5(lower(trim(regexp_replace({c}, '\\s+', ' ', 'g'))))"
+
+    def funnel(i, name, frame, tok_expr, id_expr):
+        return f"""
+            SELECT {i} AS stage, '{name}' AS stage_name,
+                   count(*) AS n_docs,
+                   CAST(coalesce(sum({tok_expr}), 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(sum({h32.format(c=id_expr)}), 0) AS BIGINT)
+                       AS id_checksum
+            FROM {frame}"""
+
+    body_sql = f"""
+          CASE WHEN doc_id % 350 IN (0, 1) AND doc_id >= 350
+               THEN '{_SNAPSHOT_PAGE} issue ' ||
+                    CAST(doc_id - doc_id % 350 AS VARCHAR)
+               WHEN doc_id % 13 = 1 THEN '{_FUNNEL_PAGE}'
+               ELSE coalesce(text, '') END || ' {_FUNNEL_FOOTER}'"""
+    url_sql = """
+          'HTTPS://' || CASE WHEN k % 10 = 4 THEN 'ads.SPAM.example.net'
+                             ELSE 'WWW.News.Example.ORG:443' END
+          || '/article/' || CAST(k AS VARCHAR)
+          || CASE k % 3 WHEN 0 THEN '?utm_source=feed'
+                        WHEN 1 THEN '?gclid=abc&ref=1' ELSE '' END
+          || CASE WHEN k % 4 = 0 THEN '#top' ELSE '' END"""
+    pre = _CURATE_HTML_PRE.replace("'", "''")
+    post = _CURATE_HTML_POST.replace("'", "''")
+    return f"""
+    WITH base AS (SELECT doc_id,
+                    doc_id - CASE WHEN doc_id % 17 = 3 THEN 1 ELSE 0 END AS k,
+                    {body_sql} AS body
+                  FROM documents),
+    pages AS (SELECT doc_id AS seq, k, {url_sql} AS url,
+                     '{pre}' || body || '{post}' AS html
+              FROM base),
+    s1 AS (SELECT seq, k, url,
+             regexp_replace(regexp_replace(regexp_replace(coalesce(html, ''),
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g') AS s FROM pages),
+    s2 AS (SELECT seq, k, url,
+             regexp_replace(regexp_replace(s,
+               '(?i)<(br|/p|/div|/li|/tr|/h[1-6])[^>]*>', chr(10), 'g'),
+               '(?s)<[^>]*>', ' ', 'g') AS s FROM s1),
+    s3 AS (SELECT seq, k, url,
+             replace(replace(replace(replace(replace(replace(s,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS s FROM s2),
+    s4 AS (SELECT seq, k, url,
+             regexp_replace(regexp_replace(regexp_replace(s,
+               '[ \t]+', ' ', 'g'), ' ?\n ?', chr(10), 'g'),
+               '\n{{3,}}', chr(10) || chr(10), 'g') AS s FROM s3),
+    ext AS (SELECT seq, k, url,
+                   trim(s, ' ' || chr(10) || chr(9)) AS text,
+                   regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(
+                       replace(replace(replace(lower(url),
+                         ':443/', '/'), ':80/', '/'), '://www.', '://'),
+                       '#.*', ''),
+                     '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+                     '^([^?]*)&', '\\1?'), '(.)/$', '\\1') AS curl
+            FROM s4),
+    {_curate_slice_sql("p_", "k % 7 = 0")},
+    {_curate_slice_sql("n_", "k % 7 != 0")},
+    pfp AS (SELECT DISTINCT {fp.format(c="clean_text")} AS f FROM p_clean),
+    nex AS (SELECT c.* FROM n_clean c
+            WHERE {fp.format(c="c.clean_text")} NOT IN (SELECT f FROM pfp)),
+    nss AS (SELECT doc_id, ' ' || lower(clean_text) || ' ' AS s FROM nex),
+    pss AS (SELECT doc_id, ' ' || lower(clean_text) || ' ' AS s FROM p_clean),
+    nsh AS (SELECT DISTINCT doc_id, {_poly_terms_sql(5)} AS h
+            FROM nss, unnest(generate_series(1, length(s)-4)) t(i)),
+    psh AS (SELECT DISTINCT doc_id, {_poly_terms_sql(5)} AS h
+            FROM pss, unnest(generate_series(1, length(s)-4)) t(i)),
+    nsz AS (SELECT doc_id, count(*) AS sz FROM nsh GROUP BY 1),
+    psz AS (SELECT doc_id, count(*) AS sz FROM psh GROUP BY 1),
+    xc AS (SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS c
+           FROM nsh a JOIN psh b USING (h) GROUP BY 1, 2),
+    xm AS (SELECT DISTINCT l FROM xc
+           JOIN nsz ON nsz.doc_id = l JOIN psz ON psz.doc_id = r
+           WHERE c / (nsz.sz + psz.sz - c) >= 0.5),
+    nfz AS (SELECT * FROM nex WHERE doc_id NOT IN (SELECT l FROM xm)),
+    nw AS (SELECT doc_id,
+                  unnest(regexp_split_to_array(clean_text, '\\s+')) AS w
+           FROM nfz),
+    nf AS (SELECT w, count(*) AS c FROM nw GROUP BY 1),
+    ntot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM nf),
+    np AS (SELECT w, ln(c / tot) AS lp FROM nf CROSS JOIN ntot),
+    nsc AS (SELECT doc_id, round(avg(lp), 6) AS avg_logprob
+            FROM nw JOIN np USING (w) GROUP BY 1),
+    nth AS (SELECT quantile_cont(avg_logprob,
+              [{(1 / 3)!r}::DOUBLE, {(2 / 3)!r}::DOUBLE]) AS th FROM nsc),
+    nbk AS (SELECT doc_id,
+                   CASE WHEN avg_logprob < th[1] THEN 'tail'
+                        WHEN avg_logprob < th[2] THEN 'middle'
+                        ELSE 'head' END AS bucket
+            FROM nsc CROSS JOIN nth),
+    nsamp AS (SELECT f.doc_id, f.n_kept, b.bucket
+              FROM nfz f JOIN nbk b USING (doc_id)
+              WHERE {h32.format(c="f.doc_id")} / 4294967296.0
+                    < CASE b.bucket {rate_case} ELSE 1.0::DOUBLE END),
+    nchunk AS (SELECT bucket, doc_id, n_kept,
+                      CAST(floor((sum(n_kept) OVER (
+                             PARTITION BY bucket ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_kept) / {float(_CURATE_BUDGET)!r}) AS BIGINT)
+                          AS chunk_id
+               FROM nsamp),
+    npack AS (SELECT bucket, chunk_id, count(*) AS n_docs,
+                     CAST(sum(n_kept) AS BIGINT) AS chunk_tokens
+              FROM nchunk GROUP BY 1, 2)
+    {funnel(0, "extracted", "(SELECT url, text FROM ext WHERE k % 7 != 0)",
+            ntok.format(c="text"), "url")}
+    UNION ALL {funnel(1, "latest", "n_lat", ntok.format(c="text"), "doc_id")}
+    UNION ALL {funnel(2, "blocklist", "n_blk", ntok.format(c="text"), "doc_id")}
+    UNION ALL {funnel(3, "gopher", "n_gop", ntok.format(c="text"), "doc_id")}
+    UNION ALL {funnel(4, "quality", "n_qual", ntok.format(c="text"), "doc_id")}
+    UNION ALL {funnel(5, "span_dedup", "n_clean", "n_kept", "doc_id")}
+    UNION ALL {funnel(6, "exact_vs_prior", "nex", "n_kept", "doc_id")}
+    UNION ALL {funnel(7, "fuzzy_vs_prior", "nfz", "n_kept", "doc_id")}
+    UNION ALL {funnel(8, "sampled", "nsamp", "n_kept", "doc_id")}
+    UNION ALL
+    SELECT 9 AS stage, 'packed' AS stage_name, count(*) AS n_docs,
+           CAST(coalesce(sum(chunk_tokens), 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(sum((chunk_id + 1) * n_docs), 0) AS BIGINT)
+               AS id_checksum
+    FROM npack
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2609,6 +2928,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 4, 'exact_dedup', count(*), CAST(coalesce(sum(ct), 0) AS BIGINT)
             FROM reps
         """,
+        "snapshot_curation": _snapshot_curation_sql(),
         "badword_filter": """
             WITH t AS (SELECT doc_id,
                          CASE WHEN length(trim(coalesce(text,''))) = 0

@@ -71,6 +71,27 @@ def run(args: argparse.Namespace, stop_spark: bool = True) -> None:
     spark = build_spark("erx-pipeline", cfg.shuffle_partitions)
     out = args.out
 
+    if args.stage == "curate":
+        # end-to-end snapshot curation (webtext battery over the manifest
+        # protocol; see plans/curation.py).  Resumable per-substage; merges
+        # the kept set into the persistent corpus table.
+        from entity_resolution_pipeline_spark.plans.curation import (
+            CurationConfig,
+            run_curation,
+        )
+
+        ccfg = CurationConfig(
+            blocked_domains=tuple(args.blocked_domains or ()),
+            badwords=tuple(args.badwords or ()),
+        )
+        result = run_curation(
+            spark, args.pages, out, cfg=ccfg, prior=args.prior, resume=args.resume
+        )
+        print(json.dumps(result.get("report", []), indent=1, default=int))
+        if stop_spark:
+            spark.stop()
+        return
+
     if args.stage == "ingest":
         # incremental Structured Streaming ingest (exactly-once per input
         # file; rerun any time — only new files produce work).  Batch stages
@@ -213,8 +234,13 @@ def main() -> None:
     ap.add_argument("--pages", help="pages parquet path (url,warc_ts,html,text,lang)")
     ap.add_argument("--labeled-pairs", help="labeled pair CSV (left,right,match)")
     ap.add_argument("--out", required=True, help="output/working directory")
-    ap.add_argument("--stage", default="all", choices=STAGES + ("all", "ingest"))
+    ap.add_argument(
+        "--stage", default="all", choices=STAGES + ("all", "ingest", "curate")
+    )
     ap.add_argument("--resume", action="store_true", help="skip manifest-complete stages")
+    ap.add_argument("--prior", help="curate: prior snapshot corpus table (parquet)")
+    ap.add_argument("--blocked-domains", nargs="*", help="curate: URL blocklist entries")
+    ap.add_argument("--badwords", nargs="*", help="curate: bad-word list")
     run(ap.parse_args())
 
 

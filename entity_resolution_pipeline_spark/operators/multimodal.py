@@ -5,13 +5,15 @@ Treats media as opaque `binary` columns plus typed metadata — the layout a
 text, decode deferred to Arrow-batched UDFs near the consumer).
 
 The Spark-side plumbing here is real and tested: schemas, `mapInPandas`
-batch shapes, partition-preserving transforms.  IMAGE decode is real
-(Pillow if installed, else the stdlib baseline-PNG codec in
-functions/minipng.py) and AUDIO decode is real (stdlib `wave` PCM parsing
-in functions/miniwav.py) — both featurize actual decoded content.  Only
-the VIDEO tower remains a deterministic content-hash stand-in (no video
-codec ships anywhere in the stdlib), clearly marked below; dropping in a
-codec activates the real path without any pipeline change.
+batch shapes, partition-preserving transforms.  All three towers decode
+REAL content: IMAGE via Pillow if installed, else the stdlib baseline-PNG
+codec (functions/minipng.py); AUDIO via stdlib `wave` PCM parsing
+(functions/miniwav.py); VIDEO via the MPNG motion-PNG container
+(functions/minivid.py — indexed PNG frame sequence, the MJPEG role; no
+H.264-class codec ships in this stdlib, so arbitrary mp4 bytes fall back
+to the deterministic content-hash stand-in, same as undecodable
+image/audio bytes).  Dropping in a real codec (PyAV/Pillow) widens the
+decodable set without any pipeline change.
 """
 
 from __future__ import annotations
@@ -148,12 +150,44 @@ def _audio_feature(samples: np.ndarray, rate: int, dim: int) -> np.ndarray:
     return (v / n if n > 0 else v).astype(np.float32)
 
 
+def _decode_video(data: bytes) -> list[np.ndarray] | None:
+    """bytes → list of (h, w, c) uint8 frame pixel arrays, or None if not a
+    decodable MPNG container (functions/minivid.py)."""
+    if not data:
+        return None
+    from ..functions.minivid import frame_at, index_mpng
+
+    idx = index_mpng(data)
+    if idx is None:
+        return None
+    frames = []
+    for off, ln in idx[1]:
+        px = _decode_image(data[off : off + ln])
+        if px is None:
+            return None  # corrupt frame section — treat whole payload as undecodable
+        frames.append(px)
+    return frames
+
+
+def _video_feature(frames: list[np.ndarray], dim: int) -> np.ndarray:
+    """REAL decoded-video descriptor: key-frame channel stats + averaged
+    luma histogram + motion energy (functions/minivid.video_features),
+    tiled/truncated to `dim` and L2-normalized — same shape contract as
+    `_image_feature` / `_audio_feature`."""
+    from ..functions.minivid import video_features
+
+    v = np.resize(video_features(frames), dim)
+    n = np.linalg.norm(v)
+    return (v / n if n > 0 else v).astype(np.float32)
+
+
 def _fake_feature(data: bytes, dim: int) -> np.ndarray:
-    """Deterministic stand-in for the VIDEO tower (no video codec ships in
-    this container) and for undecodable image/audio bytes: seed a PRNG from
-    the content hash.  Deterministic so tests can assert exact values and
-    partition-invariance; images and audio take the real decode paths
-    (_image_feature / _audio_feature)."""
+    """Deterministic stand-in for UNDECODABLE media bytes of any kind
+    (e.g. real mp4 payloads, for which no codec ships in this container):
+    seed a PRNG from the content hash.  Deterministic so tests can assert
+    exact values and partition-invariance; decodable images / audio / MPNG
+    video take the real paths (_image_feature / _audio_feature /
+    _video_feature)."""
     seed = zlib.crc32(data) if data else 0
     rng = np.random.Generator(np.random.PCG64(seed))
     v = rng.standard_normal(dim)
@@ -166,10 +200,11 @@ def extract_media_features(media: DataFrame, dim: int = 64) -> DataFrame:
     Image rows are REALLY decoded (Pillow if installed, else the stdlib
     baseline-PNG decoder) and featurized from their pixels
     (`_image_feature`); audio rows are REALLY decoded (stdlib `wave` PCM)
-    and featurized from their samples (`_audio_feature`); rows whose bytes
-    don't decode — and video, whose codec doesn't ship in this container —
-    get the deterministic content-hash-seeded stand-in (`_fake_feature`).
-    """
+    and featurized from their samples (`_audio_feature`); video rows are
+    REALLY decoded when the payload is an MPNG frame container
+    (functions/minivid.py) and featurized from their frame pixels
+    (`_video_feature`).  Only bytes that don't decode at all get the
+    deterministic content-hash-seeded stand-in (`_fake_feature`)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -187,6 +222,9 @@ def extract_media_features(media: DataFrame, dim: int = 64) -> DataFrame:
                 elif kind == "audio":
                     au = _decode_audio(b)
                     f = _audio_feature(au[0], au[1], dim) if au is not None else None
+                elif kind == "video":
+                    fr = _decode_video(b)
+                    f = _video_feature(fr, dim) if fr is not None else None
                 feats.append((f if f is not None else _fake_feature(b, dim)).tolist())
             yield pd.DataFrame(
                 {
@@ -244,32 +282,67 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
+SAMPLED_FRAMES = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_ts_ms", IntegerType(), False),
+        StructField("frame_bytes", BinaryType(), True),  # NULL ⇒ undecodable payload
+    ]
+)
+
+
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling operator: one output row per sampled frame timestamp.
-    Timestamp arithmetic (the plumbing) is real JVM exprs over metadata; the
-    frame *decode* is stubbed as NULL bytes until a codec is present."""
-    frames = F.sequence(
-        F.lit(0),
-        F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)),
-        F.lit(every_ms),
-    )
+    """Frame-sampling operator: one output row per sampled timestamp, with
+    the REAL covering-frame bytes (an O(1) indexed byte slice per frame —
+    functions/minivid.index_mpng/frame_at, never a full decode) when the
+    payload is an MPNG container.  Payloads no shipped codec can read (real
+    mp4 bytes) keep the metadata-driven timestamp grid from `duration_ms`
+    with NULL frame_bytes — surfaced, not dropped, so a corpus pipeline can
+    count undecodable rows.  One Arrow `mapInPandas` pass; output frames
+    are standalone PNGs, directly consumable by resize_images/_decode_image.
+    """
+    from ..functions.minivid import frame_at, index_mpng
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, tss, frames = [], [], []
+            for mid, data, dur in zip(
+                pdf["media_id"], pdf["bytes"], pdf["duration_ms"]
+            ):
+                b = bytes(data) if data is not None else b""
+                idx = index_mpng(b)
+                if idx is not None:
+                    duration = idx[0] * len(idx[1])
+                else:
+                    duration = int(dur) if dur is not None and dur > 0 else 1
+                for ts in range(0, max(int(duration), 1), every_ms):
+                    ids.append(int(mid))
+                    tss.append(ts)
+                    frames.append(frame_at(b, idx, ts) if idx is not None else None)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_ts_ms": tss, "frame_bytes": frames}
+            )
+
     return (
         media.where(F.col("kind") == "video")
-        .select(
-            "media_id",
-            F.explode(frames).alias("frame_ts_ms"),
-            F.lit(None).cast(BinaryType()).alias("frame_bytes"),  # STUB: no codec
-        )
+        .select("media_id", "bytes", "duration_ms")
+        .mapInPandas(run, schema=SAMPLED_FRAMES)
     )
 
 
 def synthetic_media_df(spark, n: int = 64, partitions: int = 4) -> DataFrame:
     """Deterministic fake media table for tests/benchmarks.  Image rows
     carry REAL encoded PNGs (seeded gradient+noise pixels through
-    minipng.encode_png) and audio rows REAL 16-bit PCM WAVs (seeded sine
-    mixture + noise through miniwav.encode_wav) so both decode paths run on
-    actual bytes; video rows carry seeded opaque payloads (no codec)."""
+    minipng.encode_png), audio rows REAL 16-bit PCM WAVs (seeded sine
+    mixture + noise through miniwav.encode_wav), and video rows REAL MPNG
+    frame containers (seeded moving-gradient PNG frames through
+    minivid.encode_mpng) — every decode path runs on actual bytes.  One in
+    five video rows instead carries an opaque non-MPNG payload to exercise
+    the undecodable-media fallback (NULL frames, hash stand-in feature)."""
     from ..functions.minipng import encode_png
+    from ..functions.minivid import encode_mpng
     from ..functions.miniwav import encode_wav
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -302,15 +375,30 @@ def synthetic_media_df(spark, n: int = 64, partitions: int = 4) -> DataFrame:
                     ]
                     payload = encode_wav(np.stack(chans, axis=1), rate)
                     duration_ms = int(round(1000.0 * nsamp / rate))  # true duration
-                else:
+                elif i % 15 == 14:  # every 5th video row: undecodable payload
                     payload = rng.integers(
                         0, 256, size=128 + (i % 64), dtype=np.uint8
                     ).tobytes()
                     duration_ms = 2500 + (i % 10) * 500
-                if kind == "image":
+                    w = 64 + (i % 8) * 16
+                    h = 48 + (i % 8) * 12
+                else:
+                    h, w = 5 + (i % 3), 7 + (i % 3)
+                    n_frames, interval = 3 + (i % 4), 500
+                    grad = np.add.outer(np.arange(h) * 11, np.arange(w) * 7)
+                    frame_px = [
+                        np.stack(
+                            [(grad + 29 * ch + 17 * t + i) % 256 for ch in range(3)],
+                            axis=2,
+                        ).astype(np.uint8)
+                        for t in range(n_frames)
+                    ]
+                    payload = encode_mpng(
+                        [encode_png(px) for px in frame_px], interval
+                    )
+                    duration_ms = n_frames * interval  # true duration
+                if kind in ("image", "video"):
                     width, height = w, h  # true decoded dimensions
-                elif kind == "video":
-                    width, height = 64 + (i % 8) * 16, 48 + (i % 8) * 12
                 else:
                     width = height = None
                 rows.append(

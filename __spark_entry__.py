@@ -1480,6 +1480,21 @@ def q_badword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: deterministic
+    sign-projection shards, within-shard cosine ≥ 0.30 duplicate groups via
+    connected components, keep the member LEAST similar to the shard
+    centroid.  τ=0.30 because the synthetic embeddings are near-orthogonal
+    (max pairwise cosine ≈ 0.51); production text embeddings use ≥ 0.9.
+    Oracle regenerates the identical ±1 plane matrix as a VALUES table and
+    replays CC with the recursive-CTE walk."""
+    from entity_resolution_pipeline_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(
+        _read(spark, sf_dir, "embeddings"), threshold=0.30, n_planes=4
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_groups": q_exact_dedup_groups,
@@ -1551,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "badword_filter": q_badword_filter,
         "curation_funnel": q_curation_funnel,
         "snapshot_curation": q_snapshot_curation,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -1933,6 +1949,63 @@ def _snapshot_curation_sql() -> str:
            CAST(coalesce(sum((chunk_id + 1) * n_docs), 0) AS BIGINT)
                AS id_checksum
     FROM npack
+    """
+
+
+def _semantic_dedup_sql(
+    threshold: float = 0.30, n_planes: int = 4, dim: int = 64
+) -> str:
+    """Full value-level SemDeDup replay: the ±1 plane matrix is regenerated
+    by the SAME rademacher_planes call the operator uses (engine-portable
+    parameters, the _quality_classifier_sql pattern), buckets/centroids/
+    pairs recomputed in SQL, components via the recursive-CTE walk, and the
+    keep-least-central representative via row_number."""
+    from entity_resolution_pipeline_spark.operators.dedup import rademacher_planes
+
+    planes = rademacher_planes(dim, n_planes)
+    vals = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(j, ", ".join(repr(s) for s in p))
+        for j, p in enumerate(planes)
+    )
+    return f"""
+    WITH RECURSIVE planes(j, s) AS (VALUES {vals}),
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    bits AS (SELECT vec_id, j,
+                    CASE WHEN round(list_inner_product(v, s), 6) >= 0
+                         THEN '1' ELSE '0' END AS b
+             FROM emb, planes),
+    bk AS (SELECT vec_id, string_agg(b, '' ORDER BY j) AS bucket
+           FROM bits GROUP BY 1),
+    bv AS (SELECT bk.vec_id, bucket, v FROM bk JOIN emb USING (vec_id)),
+    cent AS (SELECT bucket, i, avg(v[i]) AS m
+             FROM bv, unnest(generate_series(1, len(v))) t(i)
+             GROUP BY 1, 2),
+    cvecs AS (SELECT bucket, list(m ORDER BY i) AS cvec FROM cent GROUP BY 1),
+    scored AS (SELECT vec_id, bucket, v,
+                      round(list_cosine_similarity(v, cvec), 6) AS cent_cos
+               FROM bv JOIN cvecs USING (bucket)),
+    prs AS (SELECT a.vec_id AS l, b.vec_id AS r
+            FROM scored a JOIN scored b USING (bucket)
+            WHERE a.vec_id < b.vec_id
+              AND round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}),
+    edges AS (SELECT CAST(l AS VARCHAR) a, CAST(r AS VARCHAR) b FROM prs
+              UNION SELECT CAST(r AS VARCHAR), CAST(l AS VARCHAR) FROM prs),
+    walk(id, reach) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.reach),
+    comp AS (SELECT id, min(reach) AS root FROM walk GROUP BY id),
+    g AS (SELECT s.vec_id, s.bucket, s.cent_cos,
+                 coalesce(c.root, CAST(s.vec_id AS VARCHAR)) AS root
+          FROM scored s LEFT JOIN comp c ON c.id = CAST(s.vec_id AS VARCHAR)),
+    reps AS (SELECT root, vec_id AS rep FROM (
+               SELECT root, vec_id,
+                      row_number() OVER (PARTITION BY root
+                                         ORDER BY cent_cos, vec_id) AS rn
+               FROM g) WHERE rn = 1)
+    SELECT g.vec_id, g.bucket, g.root, g.cent_cos,
+           CAST(CASE WHEN g.vec_id = reps.rep THEN 1 ELSE 0 END AS INT) AS kept
+    FROM g JOIN reps USING (root)
     """
 
 
@@ -2945,4 +3018,5 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_bad = 0 THEN 1 ELSE 0 END AS kept
             FROM c
         """,
+        "semantic_dedup": _semantic_dedup_sql(),
     }

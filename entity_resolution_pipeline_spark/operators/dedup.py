@@ -712,3 +712,164 @@ def minhash_lsh_pairs_cross(
     return j.where(jac >= threshold).select(
         "left_id", "right_id", F.round(jac, 6).alias("jaccard")
     )
+
+
+# ------------------------------------------------- semantic (SemDeDup) dedup
+
+def rademacher_planes(
+    dim: int, n_planes: int, seed: str = "semdedup"
+) -> list[list[float]]:
+    """Deterministic ±1 projection hyperplanes from md5(seed:j:i).
+
+    Engine-portable by construction: the DuckDB oracle regenerates the
+    IDENTICAL matrix from the same Python call and embeds it as a VALUES
+    table (the quality_classifier weight-table pattern), so the cluster
+    assignment — not just the within-cluster arithmetic — is
+    value-checkable.  Rademacher entries lose nothing vs Gaussian for sign
+    projections (Achlioptas 2001) and keep every dot product exactly
+    representable as a sum of ±v[i]."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[:8], 16) % 2
+            == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    seed: str = "semdedup",
+    dim: int | None = None,
+    max_bucket_size: int | None = 5000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic deduplication, LSH-sharded.
+
+    The paper clusters embeddings with k-means, thresholds pairwise cosine
+    WITHIN each cluster, and keeps — per duplicate group — the example
+    LEAST similar to its cluster centroid (retaining the periphery, pruning
+    the redundant core).  This operator keeps those exact within-cluster
+    semantics but replaces the k-means quantizer with deterministic
+    sign-random-projection sharding (rademacher_planes): bucket =
+    concat_j[sign(v·p_j)].  At 10^12 docs that swap is what makes the plan
+    shuffle-safe — no iterative centroid fitting, no driver state, bucket
+    assignment is a pure column expression, and n_planes tunes shard size
+    (each plane halves the expected bucket ≈ n/2^planes; production sizing
+    n_planes ≈ log2(n / target_cluster)).  Near-duplicate pairs straddling
+    a bucket boundary are missed — the same recall tradeoff the paper
+    accepts across k-means cell boundaries.
+
+    Physical plan: one JVM projection for buckets (fold dot per plane, no
+    UDF) → per-(bucket,pos) avg agg for centroids (map-side combined;
+    centroid table is 2^planes rows, broadcast back) → within-bucket
+    self-join for edges with hot buckets triangle-salted to
+    ≤ ~2·max_bucket_size (salt_hot_blocks; output provably unchanged) →
+    large-star/small-star connected components over threshold edges →
+    keep-best via ONE hash agg (min struct(cent_cos, id)) — no window over
+    the corpus.
+
+    Returns one row per input vector:
+      (id_col, bucket: string, root: string, cent_cos: double, kept: int)
+    root is the string-min component id (the CC convention shared with the
+    recursive-CTE oracle); singletons are their own root, kept=1.
+
+    Fixture note: the synthetic embeddings are near-orthogonal (max pairwise
+    cosine ≈ 0.51), so the sf-scale contract query runs threshold=0.30 to
+    exercise group formation; production text embeddings use ≥ 0.9.
+    """
+    from pyspark import StorageLevel
+
+    from ..config import BlockingConfig
+    from ..operators.ann import cosine_expr
+    from ..operators.blocking import salt_hot_blocks, salted_pair_predicate
+    from ..operators.cluster import connected_components
+
+    if dim is None:
+        first = embeddings.select(vec_col).first()
+        dim = len(first[0]) if first else 0
+    planes = rademacher_planes(dim, n_planes, seed)
+
+    def _plane_dot(p: list[float]) -> F.Column:
+        arr = F.array(*[F.lit(s) for s in p])
+        return F.aggregate(
+            F.zip_with(F.col("vec"), arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = F.concat(
+        *[
+            F.when(F.round(_plane_dot(p), 6) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in planes
+        ]
+    ).alias("bucket")
+    v = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    ).select("id", "vec", bucket)
+
+    # centroids: 2^planes × dim doubles — tiny; broadcast back to the corpus
+    cent = (
+        v.select("bucket", F.posexplode("vec").alias("pos", "x"))
+        .groupBy("bucket", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("bucket")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cvec")
+        )
+    )
+    scored = v.join(F.broadcast(cent), "bucket").select(
+        "id",
+        "vec",
+        "bucket",
+        F.round(cosine_expr("vec", "cvec"), 6).alias("cent_cos"),
+    )
+    # pairs + assignment + keep-best all read scored: materialize ONCE.
+    # Cache ownership: lives for THIS plan; loop callers clearCache().
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+
+    pv = scored.select("id", "vec", "bucket")
+    if max_bucket_size:
+        pv = salt_hot_blocks(
+            pv, BlockingConfig(max_block_size=max_bucket_size), key_col="bucket"
+        )
+    l, r = pv.alias("l"), pv.alias("r")
+    joined = l.join(r, "bucket").where(F.col("l.id") < F.col("r.id"))
+    if max_bucket_size:
+        joined = joined.where(salted_pair_predicate())
+    edges = (
+        joined.where(F.round(cosine_expr("l.vec", "r.vec"), 6) >= threshold)
+        .select(
+            F.col("l.id").cast("string").alias("src"),
+            F.col("r.id").cast("string").alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    assign = connected_components(edges)  # (entity_id, root) — string ids
+    g = scored.join(
+        assign, scored["id"].cast("string") == assign["entity_id"], "left"
+    ).select(
+        "id",
+        "bucket",
+        "cent_cos",
+        F.coalesce(F.col("root"), F.col("id").cast("string")).alias("root"),
+    )
+    reps = g.groupBy("root").agg(F.min(F.struct("cent_cos", "id")).alias("best"))
+    return g.join(reps, "root").select(
+        F.col("id").alias(id_col),
+        "bucket",
+        "root",
+        "cent_cos",
+        (F.col("id") == F.col("best.id")).cast("int").alias("kept"),
+    )

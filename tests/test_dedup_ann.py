@@ -455,3 +455,111 @@ def test_image_features_are_pixel_functions(spark):
     )
     feats = {r["media_id"]: r["feature"] for r in multimodal.extract_media_features(df, dim=16).collect()}
     assert feats[1] == feats[2]
+
+
+# ------------------------------------------------------------ semantic dedup
+
+class TestSemanticDedup:
+    """SemDeDup: brute-force python cross-check + invariances."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import numpy as np
+
+        rng = np.random.Generator(np.random.PCG64(11))
+        base = rng.standard_normal((12, 8))
+        rows = []
+        vid = 0
+        for b in base:
+            rows.append((vid, [float(x) for x in b])); vid += 1
+        # near-dups of vectors 0 and 1 (tiny perturbations -> cosine ~1,
+        # same side of every hyperplane with overwhelming probability)
+        for src in (0, 0, 1):
+            p = base[src] + rng.standard_normal(8) * 1e-3
+            rows.append((vid, [float(x) for x in p])); vid += 1
+        return spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+
+    @staticmethod
+    def _brute(rows, threshold, n_planes=4):
+        """Pure-python replay of the operator's contract."""
+        import numpy as np
+
+        from entity_resolution_pipeline_spark.operators.dedup import (
+            rademacher_planes,
+        )
+
+        ids = [r["vec_id"] for r in rows]
+        V = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+        P = np.asarray(rademacher_planes(len(rows[0]["embedding"]), n_planes))
+        bucket = {
+            i: "".join(
+                "1" if round(float(P[j] @ V[i]), 6) >= 0 else "0"
+                for j in range(n_planes)
+            )
+            for i in ids
+        }
+        cents = {}
+        for b in set(bucket.values()):
+            mem = [V[i] for i in ids if bucket[i] == b]
+            cents[b] = np.mean(mem, axis=0)
+        cos = lambda a, b: float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))  # noqa: E731
+        cent_cos = {i: round(cos(V[i], cents[bucket[i]]), 6) for i in ids}
+        # edges within bucket at threshold -> union-find
+        parent = {str(i): str(i) for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a in ids:
+            for b in ids:
+                if a < b and bucket[a] == bucket[b]:
+                    if round(cos(V[a], V[b]), 6) >= threshold:
+                        ra, rb = find(str(a)), find(str(b))
+                        if ra != rb:
+                            parent[max(ra, rb)] = min(ra, rb)
+        root = {i: find(str(i)) for i in ids}
+        comps = {}
+        for i in ids:
+            comps.setdefault(root[i], []).append(i)
+        kept = {}
+        for r, mem in comps.items():
+            best = min(mem, key=lambda i: (cent_cos[i], i))
+            for i in mem:
+                kept[i] = 1 if i == best else 0
+        return {
+            i: (bucket[i], root[i], cent_cos[i], kept[i]) for i in ids
+        }
+
+    def test_matches_bruteforce(self, emb):
+        rows = emb.collect()
+        want = self._brute(rows, threshold=0.95)
+        got = {
+            r["vec_id"]: (r["bucket"], r["root"], r["cent_cos"], r["kept"])
+            for r in dedup.semantic_dedup(emb, threshold=0.95).collect()
+        }
+        assert got == want
+
+    def test_groups_and_representatives(self, emb):
+        out = {r["vec_id"]: r for r in dedup.semantic_dedup(emb, threshold=0.95).collect()}
+        # 15 rows in, the two perturbed copies of 0 group with 0, the one of
+        # 1 groups with 1 -> 3 dropped, 12 kept
+        assert len(out) == 15
+        assert sum(r["kept"] for r in out.values()) == 12
+        g0 = {i for i, r in out.items() if r["root"] == out[0]["root"]}
+        assert g0 == {0, 12, 13}
+        g1 = {i for i, r in out.items() if r["root"] == out[1]["root"]}
+        assert g1 == {1, 14}
+        # exactly one representative per group, the least-central member
+        for g in (g0, g1):
+            reps = [i for i in g if out[i]["kept"] == 1]
+            assert len(reps) == 1
+            assert out[reps[0]]["cent_cos"] == min(out[i]["cent_cos"] for i in g)
+
+    def test_salting_invariance(self, emb):
+        """Forcing the hot-bucket grid on (cap=2) must not change output."""
+        a = sorted(map(tuple, dedup.semantic_dedup(emb, threshold=0.95, max_bucket_size=None).collect()))
+        b = sorted(map(tuple, dedup.semantic_dedup(emb, threshold=0.95, max_bucket_size=2).collect()))
+        assert a == b

@@ -73,6 +73,9 @@ HEADLINE = [
     # cross-snapshot exact+fuzzy dedup → buckets → sample → pack) as ONE
     # plan — the job a training-data team runs per crawl snapshot
     "snapshot_curation",
+    # r3 (26 → 27): SemDeDup — sign-projection shards, within-shard cosine
+    # groups via CC, keep-least-central representative
+    "semantic_dedup",
 ]
 
 
@@ -573,12 +576,19 @@ def streaming_dedup_run(repeats: int = SCALE_REPEATS) -> dict:
             batch_in.limit(1000), corpus, bloom, m_bits=1 << 23
         ).write.format("noop").mode("overwrite").save()
 
+        # dup count measured once OUTSIDE the timings; both timed paths sink
+        # to noop so the comparison is the same plan, same sink
+        n_kept = (
+            flag_against_corpus(batch_in, corpus, bloom, m_bits=1 << 23)
+            .agg(F.sum("kept"))
+            .first()[0]
+        )
         batch_walls, stream_walls = [], []
-        n_kept = None
         for _ in range(repeats):
             t0 = time.time()
-            flagged = flag_against_corpus(batch_in, corpus, bloom, m_bits=1 << 23)
-            n_kept = flagged.agg(F.sum("kept")).first()[0]
+            flag_against_corpus(
+                batch_in, corpus, bloom, m_bits=1 << 23
+            ).write.format("noop").mode("overwrite").save()
             batch_walls.append(time.time() - t0)
         for i in range(repeats):
             ckpt = os.path.join(work, f"ckpt{i}")

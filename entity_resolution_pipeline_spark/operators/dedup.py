@@ -742,6 +742,43 @@ def rademacher_planes(
     ]
 
 
+def _bucket_union_find(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Per-bucket connected components over (src, dst) edge rows: classic
+    union-find with path halving, root = string-min member (the CC
+    convention shared with connected_components and the recursive-CTE
+    oracle).  Runs inside ONE Arrow batch per bucket — linear in edges."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in zip(pdf["src"], pdf["dst"]):
+        for n in (s, d):
+            if n not in parent:
+                parent[n] = n
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            # union by string-min keeps find() results canonical-prefix-free
+            if rs < rd:
+                parent[rd] = rs
+            else:
+                parent[rs] = rd
+    nodes = list(parent)
+    roots = {}
+    for n in nodes:
+        roots.setdefault(find(n), []).append(n)
+    out_id, out_root = [], []
+    for r, mem in roots.items():
+        m = min(mem)  # == r by union-by-min, kept explicit for safety
+        for n in mem:
+            out_id.append(n)
+            out_root.append(m)
+    return pd.DataFrame({"entity_id": out_id, "root": out_root})
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -773,9 +810,10 @@ def semantic_dedup(
     centroid table is 2^planes rows, broadcast back) → within-bucket
     self-join for edges with hot buckets triangle-salted to
     ≤ ~2·max_bucket_size (salt_hot_blocks; output provably unchanged) →
-    large-star/small-star connected components over threshold edges →
-    keep-best via ONE hash agg (min struct(cent_cos, id)) — no window over
-    the corpus.
+    bucket-local union-find over threshold edges (components are
+    bucket-confined by construction, so no global large-star/small-star
+    rounds are needed — one Arrow stage, linear in edges) → keep-best via
+    ONE hash agg (min struct(cent_cos, id)) — no window over the corpus.
 
     Returns one row per input vector:
       (id_col, bucket: string, root: string, cent_cos: double, kept: int)
@@ -791,7 +829,6 @@ def semantic_dedup(
     from ..config import BlockingConfig
     from ..operators.ann import cosine_expr
     from ..operators.blocking import salt_hot_blocks, salted_pair_predicate
-    from ..operators.cluster import connected_components
 
     if dim is None:
         first = embeddings.select(vec_col).first()
@@ -839,7 +876,9 @@ def semantic_dedup(
     # Cache ownership: lives for THIS plan; loop callers clearCache().
     scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
 
-    pv = scored.select("id", "vec", "bucket")
+    # b0 carries the ORIGINAL bucket through salting (salt_hot_blocks
+    # rewrites the join key in place) so edges group back to their bucket.
+    pv = scored.select("id", "vec", "bucket", F.col("bucket").alias("b0"))
     if max_bucket_size:
         pv = salt_hot_blocks(
             pv, BlockingConfig(max_block_size=max_bucket_size), key_col="bucket"
@@ -851,12 +890,22 @@ def semantic_dedup(
     edges = (
         joined.where(F.round(cosine_expr("l.vec", "r.vec"), 6) >= threshold)
         .select(
+            F.col("l.b0").alias("b0"),
             F.col("l.id").cast("string").alias("src"),
             F.col("r.id").cast("string").alias("dst"),
         )
         .dropDuplicates(["src", "dst"])
     )
-    assign = connected_components(edges)  # (entity_id, root) — string ids
+    # Components can NEVER span buckets (every doc has exactly one bucket,
+    # so every edge incident to it lives in that bucket) — so CC runs
+    # bucket-locally: ONE groupBy-applyInPandas union-find stage instead of
+    # the O(log n) global large-star/small-star rounds.  Scale-safe because
+    # bucket size is bounded by construction (n/2^planes with production
+    # n_planes sizing); the global connected_components operator remains the
+    # right tool when components can be corpus-wide (fuzzy_dedup).
+    assign = edges.groupBy("b0").applyInPandas(
+        _bucket_union_find, schema="entity_id string, root string"
+    )
     g = scored.join(
         assign, scored["id"].cast("string") == assign["entity_id"], "left"
     ).select(

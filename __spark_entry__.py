@@ -1495,6 +1495,32 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community Newman modularity decomposition of the connected-
+    component partition over the jaccard-weighted near-dup graph (G4's
+    quality metric as a first-class agg: Q = Σ_c [L_c/m − (d_c/2m)²]).
+    Pure hash aggs, no windows.  The Louvain operator itself
+    (cluster.louvain_communities) is pinned in tests/test_cluster.py
+    against networkx best-of-5 + an exhaustive single-node
+    local-optimality check — properties SQL can't express."""
+    from entity_resolution_pipeline_spark.operators.cluster import (
+        connected_components,
+        modularity,
+    )
+    from entity_resolution_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, n=3, threshold=0.12).select(
+        F.col("left_id").cast("string").alias("src"),
+        F.col("right_id").cast("string").alias("dst"),
+        F.col("jaccard").alias("weight"),
+    )
+    assign = connected_components(edges.select("src", "dst")).select(
+        "entity_id", F.col("root").alias("community")
+    )
+    return modularity(edges, assign, weight_col="weight")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_groups": q_exact_dedup_groups,
@@ -1567,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "snapshot_curation": q_snapshot_curation,
         "semantic_dedup": q_semantic_dedup,
+        "cluster_modularity": q_cluster_modularity,
     }
 
 
@@ -3019,4 +3046,48 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "semantic_dedup": _semantic_dedup_sql(),
+        "cluster_modularity": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents),
+            pos AS (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks),
+            sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                   FROM pos WHERE i + 2 <= len(t)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            common AS (SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS c
+                       FROM sh a JOIN sh b USING (shingle)
+                       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            we AS (SELECT CAST(l AS VARCHAR) AS src, CAST(r AS VARCHAR) AS dst,
+                          round(c / (sa.sz + sb.sz - c), 6) AS w
+                   FROM common
+                   JOIN sizes sa ON sa.doc_id = l JOIN sizes sb ON sb.doc_id = r
+                   WHERE c / (sa.sz + sb.sz - c) >= 0.12),
+            edges AS (SELECT src AS a, dst AS b FROM we
+                      UNION SELECT dst, src FROM we),
+            walk(id, reach) AS (
+              SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+              UNION
+              SELECT wk.id, e.b FROM walk wk JOIN edges e ON e.a = wk.reach),
+            comp AS (SELECT id, min(reach) AS root FROM walk GROUP BY id),
+            mm AS (SELECT sum(w) AS m FROM we),
+            tagged AS (SELECT we.src, we.dst, we.w,
+                              cu.root AS cu, cv.root AS cv
+                       FROM we JOIN comp cu ON cu.id = we.src
+                               JOIN comp cv ON cv.id = we.dst),
+            deg AS (SELECT c, sum(w) AS degree_w FROM (
+                      SELECT cu AS c, w FROM tagged
+                      UNION ALL SELECT cv AS c, w FROM tagged)
+                    GROUP BY c),
+            intra AS (SELECT cu AS c, sum(w) AS intra_w FROM tagged
+                      WHERE cu = cv GROUP BY cu),
+            nn AS (SELECT root AS c, count(*) AS n_nodes FROM comp GROUP BY root)
+            SELECT nn.c AS community, nn.n_nodes,
+                   coalesce(intra.intra_w, 0.0) AS intra_w,
+                   coalesce(deg.degree_w, 0.0) AS degree_w,
+                   round(coalesce(intra.intra_w, 0.0) / mm.m
+                         - pow(coalesce(deg.degree_w, 0.0) / (2 * mm.m), 2),
+                         6) AS contribution
+            FROM nn LEFT JOIN intra ON intra.c = nn.c
+                    LEFT JOIN deg ON deg.c = nn.c, mm
+        """,
     }

@@ -231,3 +231,306 @@ def cluster_statistics(clusters: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("num_clusters"), F.sum("size").alias("num_entities"))
         .orderBy("size_bucket")
     )
+
+
+# ------------------------------------------------------------------- louvain
+
+def _louvain_py(
+    edges: list, resolution: float = 1.0
+) -> dict:
+    """Exact deterministic Louvain (Blondel et al. 2008) on ONE connected
+    component: local-moving passes in sorted node order + graph aggregation,
+    repeated until modularity stops improving.  Replaces python-louvain's
+    `best_partition` (the reference's import,
+    batch_parallel_classification.py:880-896) with a DETERMINISTIC variant:
+    nodes are visited in sorted order and ties break toward the smaller
+    community label — python-louvain shuffles node order per pass, so its
+    partitions are not reproducible run-to-run, which violates this
+    engine's reproducibility contract.
+
+    edges: [(u, v, w)] with u != v, strings, each undirected edge once.
+    Returns {node: community_label} where the label is the min member.
+
+    A final node-level refinement pass (local moving over ORIGINAL nodes,
+    initialized from the hierarchical result) runs after the level loop —
+    classic Louvain only guarantees no SUPERNODE move can improve Q, while
+    refinement extends that guarantee to single original nodes
+    (test_cluster pins it exhaustively) and never lowers Q."""
+    adj: dict = {}
+    m = 0.0
+    for u, v, w in edges:
+        w = float(w)
+        adj.setdefault(u, {})[v] = adj.get(u, {}).get(v, 0.0) + w
+        adj.setdefault(v, {})[u] = adj.get(v, {}).get(u, 0.0) + w
+        m += w
+    if m <= 0.0:
+        return {n: n for n in adj}
+    adj0 = adj  # original graph kept for the refinement pass
+
+    def _local_move(adj: dict, com: dict) -> bool:
+        """Sorted-order local moving until stable; mutates com in place.
+        Community keys are arbitrary labels; tot is derived from com."""
+        nodes = sorted(adj)
+        k = {n: sum(adj[n].values()) + adj[n].get(n, 0.0) for n in nodes}
+        tot: dict = {}
+        for n in nodes:
+            tot[com[n]] = tot.get(com[n], 0.0) + k[n]
+        improved_any = False
+        moved = True
+        while moved:
+            moved = False
+            for n in nodes:
+                cn = com[n]
+                links: dict = {}
+                for nb, w in adj[n].items():
+                    if nb == n:
+                        continue
+                    links[com[nb]] = links.get(com[nb], 0.0) + w
+                tot[cn] -= k[n]
+                base = (
+                    links.get(cn, 0.0) - resolution * tot[cn] * k[n] / (2.0 * m)
+                )
+                best_c, best_gain = cn, 0.0
+                for c in sorted(links):
+                    if c == cn:
+                        continue
+                    gain = (
+                        links[c] - resolution * tot[c] * k[n] / (2.0 * m) - base
+                    )
+                    if gain > best_gain + 1e-12:
+                        best_c, best_gain = c, gain
+                com[n] = best_c
+                tot[best_c] = tot.get(best_c, 0.0) + k[n]
+                if best_c != cn:
+                    moved = True
+                    improved_any = True
+        return improved_any
+
+    # node2orig: current-level supernode -> set of original nodes
+    node2orig = {n: {n} for n in adj}
+
+    while True:
+        nodes = sorted(adj)
+        com = {n: n for n in nodes}
+        if not _local_move(adj, com):
+            break
+        # aggregate: communities become supernodes (label = min member node)
+        members: dict = {}
+        for n in nodes:
+            members.setdefault(com[n], set()).add(n)
+        label = {c: min(mem) for c, mem in members.items()}
+        # Weight bookkeeping: a normal edge appears in adj twice (u→v and
+        # v→u) at FULL weight each; a self-loop appears once.  The
+        # aggregated graph must keep those conventions: intra-community
+        # edges collapse into the supernode's self-loop at total weight
+        # (w/2 per direction), existing self-loops transfer at full weight,
+        # and cross-community directions each keep full weight (symmetric).
+        new_adj: dict = {}
+        for n in nodes:
+            cu = label[com[n]]
+            for nb, w in adj[n].items():
+                if nb == n:
+                    new_adj.setdefault(cu, {})[cu] = (
+                        new_adj.get(cu, {}).get(cu, 0.0) + w
+                    )
+                    continue
+                cv = label[com[nb]]
+                if cu == cv:
+                    new_adj.setdefault(cu, {})[cu] = (
+                        new_adj.get(cu, {}).get(cu, 0.0) + w / 2.0
+                    )
+                else:
+                    new_adj.setdefault(cu, {})[cv] = (
+                        new_adj.get(cu, {}).get(cv, 0.0) + w
+                    )
+        new_node2orig: dict = {}
+        for c, mem in members.items():
+            lab = label[c]
+            s = set()
+            for n in mem:
+                s |= node2orig[n]
+            new_node2orig[lab] = s
+        node2orig = new_node2orig
+        adj = new_adj
+        if len(adj) == len(nodes):
+            break
+    # refinement: node-level local moving on the ORIGINAL graph seeded with
+    # the hierarchical partition — guarantees single-node local optimality
+    com0: dict = {}
+    for supernode, origs in node2orig.items():
+        lab = min(origs)
+        for o in origs:
+            com0[o] = lab
+    _local_move(adj0, com0)
+    # relabel: community label = min member (refinement may move the
+    # previous label-holder out of its community)
+    members0: dict = {}
+    for n, c in com0.items():
+        members0.setdefault(c, set()).add(n)
+    out = {}
+    for c, mem in members0.items():
+        lab = min(mem)
+        for o in mem:
+            out[o] = lab
+    return out
+
+
+def louvain_communities(
+    edges: DataFrame,
+    weight_col: str | None = None,
+    resolution: float = 1.0,
+    cfg: ClusteringConfig = ClusteringConfig(),
+    max_component_edges: int = 2_000_000,
+) -> DataFrame:
+    """edges(src, dst[, weight]) → assignments(entity_id, community).
+
+    The reference's third clustering algorithm (python-louvain
+    `best_partition` over the weighted match graph,
+    batch_parallel_classification.py:880-896) as a scale-safe Spark plan.
+    Louvain communities can never span disconnected components, so the
+    distributed part is the proven large-star/small-star connected
+    components; each component's subgraph then gets EXACT deterministic
+    Louvain inside one Arrow batch (_louvain_py) — the same
+    confined-decomposition shape as semantic_dedup's bucket-local CC.  In
+    ER the match graph is sparse by blocking design, so components are
+    small; a component whose edge count exceeds max_component_edges falls
+    back (with a RuntimeWarning) to one-community-per-component — the CC
+    answer — rather than OOMing an executor; the warning names the
+    component so the caller can re-block.
+
+    Community label = min member id (string order, the CC root
+    convention).  Deterministic at any parallelism: component assignment
+    is deterministic, per-component Louvain is deterministic, and
+    groupBy routing does not affect either."""
+    import pandas as pd
+
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    ).alias("w")
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            w,
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    comp = connected_components(e.select("src", "dst"), cfg)
+    tagged = e.join(
+        comp.withColumnRenamed("entity_id", "src").withColumnRenamed(
+            "root", "component"
+        ),
+        "src",
+    )
+
+    # over-cap detection runs DRIVER-side (one tiny agg over the tagged
+    # edge list, collects only the offending component ids) so the warning
+    # is visible to the caller, not buried in an executor's Python worker
+    oversized = {
+        r["component"]
+        for r in tagged.groupBy("component")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > max_component_edges)
+        .collect()
+    }
+    if oversized:
+        import warnings
+
+        sample = sorted(oversized)[:5]
+        warnings.warn(
+            f"louvain_communities: {len(oversized)} component(s) exceed "
+            f"max_component_edges={max_component_edges} (e.g. {sample}); "
+            "falling back to one community per oversized component — "
+            "re-block or raise the cap for finer structure",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
+    def _run(key, pdf):
+        component = key[0]
+        if component in oversized:
+            nodes = set(pdf["src"]) | set(pdf["dst"])
+            return pd.DataFrame(
+                {"entity_id": sorted(nodes), "community": component}
+            )
+        part = _louvain_py(
+            list(zip(pdf["src"], pdf["dst"], pdf["w"])), resolution=resolution
+        )
+        return pd.DataFrame(
+            {"entity_id": list(part), "community": [part[n] for n in part]}
+        )
+
+    return tagged.groupBy("component").applyInPandas(
+        _run, schema="entity_id string, community string"
+    )
+
+
+def modularity(
+    edges: DataFrame, assignments: DataFrame, weight_col: str | None = None
+) -> DataFrame:
+    """Per-community Newman modularity decomposition of a partition:
+    one row per community (community, n_nodes, intra_w, degree_w,
+    contribution) with Q = Σ contribution = Σ_c [L_c/m − (d_c/2m)²].
+    Pure hash aggs — edge list shuffles on community only; no windows.
+    assignments: (entity_id, community) — e.g. connected_components
+    (renamed root), label_propagation, or louvain_communities output.
+    Nodes absent from assignments keep their own id (singleton
+    convention)."""
+    w = (
+        F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    ).alias("w")
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            w,
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    a = assignments.select(
+        F.col("entity_id").alias("node"), F.col("community").alias("c")
+    )
+    eu = e.join(a.withColumnRenamed("node", "src").withColumnRenamed("c", "cu"), "src")
+    ev = eu.join(
+        a.withColumnRenamed("node", "dst").withColumnRenamed("c", "cv"), "dst"
+    )
+    m_row = e.agg(F.sum("w").alias("m")).withColumn("__k", F.lit(1))
+    # degree per community: each edge adds w to both endpoints' communities
+    deg = (
+        ev.select(F.col("cu").alias("c"), "w")
+        .unionAll(ev.select(F.col("cv").alias("c"), "w"))
+        .groupBy("c")
+        .agg(F.sum("w").alias("degree_w"))
+    )
+    intra = (
+        ev.where(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("c"))
+        .agg(F.sum("w").alias("intra_w"))
+    )
+    nodes = a.groupBy("c").agg(F.count("*").alias("n_nodes"))
+    out = (
+        nodes.join(intra, "c", "left")
+        .join(deg, "c", "left")
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(m_row), "__k")
+        .select(
+            F.col("c").alias("community"),
+            "n_nodes",
+            F.coalesce("intra_w", F.lit(0.0)).alias("intra_w"),
+            F.coalesce("degree_w", F.lit(0.0)).alias("degree_w"),
+            F.round(
+                F.coalesce("intra_w", F.lit(0.0)) / F.col("m")
+                - F.pow(
+                    F.coalesce("degree_w", F.lit(0.0)) / (2.0 * F.col("m")), 2
+                ),
+                6,
+            ).alias("contribution"),
+        )
+    )
+    return out

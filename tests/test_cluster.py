@@ -81,3 +81,183 @@ def test_cluster_statistics_buckets(spark):
     clusters = cluster_predictions(preds, entities)
     stats = {r["size_bucket"]: (r["num_clusters"], r["num_entities"]) for r in cluster_statistics(clusters).collect()}
     assert stats == {"1": (1, 1), "2": (1, 2), "3-5": (1, 3)}
+
+
+# ------------------------------------------------------------------- louvain
+
+class TestLouvain:
+    @staticmethod
+    def _barbell():
+        import itertools
+
+        e = []
+        for base in (0, 10):
+            for a, b in itertools.combinations(range(base, base + 5), 2):
+                e.append((f"n{a:02d}", f"n{b:02d}", 1.0))
+        e.append(("n04", "n10", 1.0))
+        return e
+
+    def test_splits_bridged_cliques(self, spark):
+        from entity_resolution_pipeline_spark.operators.cluster import (
+            connected_components,
+            louvain_communities,
+        )
+
+        df = spark.createDataFrame(self._barbell(), ["src", "dst", "weight"])
+        cc = connected_components(df.select("src", "dst")).collect()
+        assert len({r["root"] for r in cc}) == 1  # CC: one blob
+        part = {
+            r["entity_id"]: r["community"]
+            for r in louvain_communities(df, weight_col="weight").collect()
+        }
+        comms = {}
+        for n, c in part.items():
+            comms.setdefault(c, set()).add(n)
+        assert sorted(comms.values(), key=min) == [
+            {f"n{i:02d}" for i in range(5)},
+            {f"n{i:02d}" for i in range(10, 15)},
+        ]
+        # label convention: min member
+        for c, mem in comms.items():
+            assert c == min(mem)
+
+    def test_matches_networkx_quality(self, spark):
+        """Partition modularity ≥ networkx best-of-5 − small slack, per
+        component, on a seeded random multi-component graph."""
+        import random
+
+        import networkx as nx
+        from networkx.algorithms.community import (
+            louvain_communities as nxlouvain,
+            modularity as nxmod,
+        )
+
+        from entity_resolution_pipeline_spark.operators.cluster import (
+            louvain_communities,
+        )
+
+        rng = random.Random(4)
+        G = nx.gnm_random_graph(40, 80, seed=4)
+        edges = [
+            (f"a{u:02d}", f"a{v:02d}", rng.choice([0.5, 1.0, 2.0]))
+            for u, v in G.edges()
+        ] + self._barbell()  # second, disconnected component
+        df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+        part = {
+            r["entity_id"]: r["community"]
+            for r in louvain_communities(df, weight_col="weight").collect()
+        }
+        comms = {}
+        for n, c in part.items():
+            comms.setdefault(c, set()).add(n)
+        H = nx.Graph()
+        for u, v, w in edges:
+            H.add_edge(u, v, weight=w)
+        ours = nxmod(H, list(comms.values()), weight="weight")
+        best = max(
+            nxmod(H, nxlouvain(H, weight="weight", seed=s), weight="weight")
+            for s in range(5)
+        )
+        assert ours >= best - 0.03
+
+    def test_local_optimality(self, spark):
+        """No single-node move can improve modularity — the defining
+        property of a converged Louvain pass, checked exhaustively."""
+        import random
+
+        import networkx as nx
+        from networkx.algorithms.community import modularity as nxmod
+
+        from entity_resolution_pipeline_spark.operators.cluster import (
+            louvain_communities,
+        )
+
+        rng = random.Random(7)
+        G = nx.gnm_random_graph(25, 50, seed=7)
+        edges = [
+            (f"a{u:02d}", f"a{v:02d}", rng.choice([0.5, 1.0, 2.0]))
+            for u, v in G.edges()
+        ]
+        df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+        part = {
+            r["entity_id"]: r["community"]
+            for r in louvain_communities(df, weight_col="weight").collect()
+        }
+        H = nx.Graph()
+        for u, v, w in edges:
+            H.add_edge(u, v, weight=w)
+        comms = {}
+        for n, c in part.items():
+            comms.setdefault(c, set()).add(n)
+        q0 = nxmod(H, list(comms.values()), weight="weight")
+        targets = set(part.values())
+        for n in part:
+            for tgt in targets:
+                if tgt == part[n]:
+                    continue
+                trial = {c: set(mem) for c, mem in comms.items()}
+                trial[part[n]].discard(n)
+                trial[tgt].add(n)
+                groups = [g for g in trial.values() if g]
+                assert nxmod(H, groups, weight="weight") <= q0 + 1e-9, (n, tgt)
+
+    def test_determinism_and_parallelism(self, spark):
+        from entity_resolution_pipeline_spark.operators.cluster import (
+            louvain_communities,
+        )
+
+        df = spark.createDataFrame(self._barbell(), ["src", "dst", "weight"])
+        a = sorted(map(tuple, louvain_communities(df, weight_col="weight").collect()))
+        b = sorted(
+            map(
+                tuple,
+                louvain_communities(
+                    df.repartition(7), weight_col="weight"
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    def test_component_cap_fallback(self, spark):
+        from entity_resolution_pipeline_spark.operators.cluster import (
+            louvain_communities,
+        )
+
+        df = spark.createDataFrame(self._barbell(), ["src", "dst", "weight"])
+        with pytest.warns(RuntimeWarning, match="max_component_edges"):
+            part = {
+                r["entity_id"]: r["community"]
+                for r in louvain_communities(
+                    df, weight_col="weight", max_component_edges=3
+                ).collect()
+            }
+        # falls back to the CC answer: one community, labeled by the root
+        assert set(part.values()) == {"n00"}
+        assert len(part) == 10
+
+
+def test_modularity_matches_networkx(spark):
+    import networkx as nx
+    from networkx.algorithms.community import modularity as nxmod
+
+    from entity_resolution_pipeline_spark.operators.cluster import (
+        louvain_communities,
+        modularity,
+    )
+
+    edges = TestLouvain._barbell()
+    df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    assign = louvain_communities(df, weight_col="weight")
+    rows = modularity(df, assign, weight_col="weight").collect()
+    H = nx.Graph()
+    for u, v, w in edges:
+        H.add_edge(u, v, weight=w)
+    comms = {}
+    for r in assign.collect():
+        comms.setdefault(r["community"], set()).add(r["entity_id"])
+    q_nx = nxmod(H, list(comms.values()), weight="weight")
+    q_ours = sum(r["contribution"] for r in rows)
+    assert abs(q_ours - q_nx) < 1e-5
+    by_c = {r["community"]: r for r in rows}
+    assert set(by_c) == set(comms)
+    assert all(r["n_nodes"] == len(comms[c]) for c, r in by_c.items())

@@ -258,7 +258,12 @@ def _louvain_py(
     (test_cluster pins it exhaustively) and never lowers Q."""
     adj: dict = {}
     m = 0.0
-    for u, v, w in edges:
+    # canonical edge order: Spark hands the group's rows in arbitrary order,
+    # and dict insertion order feeds the fp summation order inside the gain
+    # loop — sorting first makes the whole run bit-identical regardless of
+    # row arrival (ulp-level sum differences could otherwise flip a greedy
+    # tie and change the partition between runs)
+    for u, v, w in sorted(edges):
         w = float(w)
         adj.setdefault(u, {})[v] = adj.get(u, {}).get(v, 0.0) + w
         adj.setdefault(v, {})[u] = adj.get(v, {}).get(u, 0.0) + w

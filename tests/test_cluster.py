@@ -261,3 +261,31 @@ def test_modularity_matches_networkx(spark):
     by_c = {r["community"]: r for r in rows}
     assert set(by_c) == set(comms)
     assert all(r["n_nodes"] == len(comms[c]) for c, r in by_c.items())
+
+
+def test_louvain_py_row_order_invariance():
+    """Pure-python: the partition must be bit-identical under any edge-list
+    permutation (Arrow hands group rows in arbitrary order)."""
+    import random
+
+    import networkx as nx
+
+    from entity_resolution_pipeline_spark.operators.cluster import _louvain_py
+
+    rng = random.Random(13)
+    G = nx.gnm_random_graph(30, 60, seed=13)
+    edges = [
+        (f"a{u:02d}", f"a{v:02d}", rng.choice([0.5, 1.0, 2.0]))
+        for u, v in G.edges()
+    ]
+    ref = _louvain_py(list(edges))
+    for s in range(10):
+        shuf = list(edges)
+        random.Random(s).shuffle(shuf)
+        assert _louvain_py(shuf) == ref
+    # partition sanity: labels are min members, every node covered
+    comms = {}
+    for n, c in ref.items():
+        comms.setdefault(c, set()).add(n)
+    assert all(c == min(mem) for c, mem in comms.items())
+    assert sorted(ref) == sorted({f"a{u:02d}" for u, _ in G.edges()} | {f"a{v:02d}" for _, v in G.edges()})

@@ -501,10 +501,19 @@ def modularity(
     a = assignments.select(
         F.col("entity_id").alias("node"), F.col("community").alias("c")
     )
-    eu = e.join(a.withColumnRenamed("node", "src").withColumnRenamed("c", "cu"), "src")
+    # LEFT joins: an endpoint missing from assignments falls back to its own
+    # id (the singleton convention in the docstring) instead of silently
+    # dropping the edge from deg/intra while it still counts in m
+    eu = e.join(
+        a.withColumnRenamed("node", "src").withColumnRenamed("c", "cu"),
+        "src",
+        "left",
+    ).withColumn("cu", F.coalesce("cu", "src"))
     ev = eu.join(
-        a.withColumnRenamed("node", "dst").withColumnRenamed("c", "cv"), "dst"
-    )
+        a.withColumnRenamed("node", "dst").withColumnRenamed("c", "cv"),
+        "dst",
+        "left",
+    ).withColumn("cv", F.coalesce("cv", "dst"))
     m_row = e.agg(F.sum("w").alias("m")).withColumn("__k", F.lit(1))
     # degree per community: each edge adds w to both endpoints' communities
     deg = (
@@ -518,7 +527,17 @@ def modularity(
         .groupBy(F.col("cu").alias("c"))
         .agg(F.sum("w").alias("intra_w"))
     )
-    nodes = a.groupBy("c").agg(F.count("*").alias("n_nodes"))
+    # node universe = assigned nodes ∪ edge endpoints (unassigned endpoints
+    # become their own singleton community, matching the edge fallback)
+    ends = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    extra = ends.join(a, "node", "left_anti").select(
+        "node", F.col("node").alias("c")
+    )
+    nodes = a.unionByName(extra).groupBy("c").agg(F.count("*").alias("n_nodes"))
     out = (
         nodes.join(intra, "c", "left")
         .join(deg, "c", "left")

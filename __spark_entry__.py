@@ -1491,7 +1491,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_resolution_pipeline_spark.operators.dedup import semantic_dedup
 
     return semantic_dedup(
-        _read(spark, sf_dir, "embeddings"), threshold=0.30, n_planes=4
+        _read(spark, sf_dir, "embeddings"), threshold=0.30, n_planes=4, dim=64
     )
 
 

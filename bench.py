@@ -513,6 +513,128 @@ def webtext_scaling_run(repeats: int = SCALE_REPEATS) -> dict:
     return out
 
 
+SEMDEDUP_SCALE_N = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_N", "100000"))
+SEMDEDUP_CLUSTERS = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_K", "1000"))
+
+
+def semdedup_scaling_run(repeats: int = SCALE_REPEATS) -> dict:
+    """N vs 4N parallelism over the SemDeDup flagship: semantic_dedup on a
+    deterministic synthetic embedding corpus with REAL duplicate structure
+    (SEMDEDUP_SCALE_N vectors, dim 64: vector i = unit centroid[i mod K] +
+    N(0, 0.03) noise, all PCG64-seeded by id — intra-cluster cosines land
+    ≈0.94, cross-cluster near 0, so threshold 0.9 forms ~K duplicate
+    groups).  n_planes=8 → 256 shards, the production-shaped regime where
+    the within-shard pair join and bucket-local union-find both carry real
+    work.  Corpus is written to tmpfs parquet ONCE and re-read per run so
+    generation cost never pollutes the timing and `clearCache()` between
+    repeats drops only the operator's internal persists.  Work is forced by
+    a scalar (count, sum kept) agg; throughput = vectors/sec; same
+    best-of-k + median + actual-core-ratio protocol as scaling_run."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    from entity_resolution_pipeline_spark.operators.dedup import semantic_dedup
+
+    n_total, k_clusters, dim = SEMDEDUP_SCALE_N, SEMDEDUP_CLUSTERS, 64
+    work = tempfile.mkdtemp(
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+        prefix="erx-semdedup-",
+    )
+    out: dict = {}
+    try:
+        gen_spark = make_spark(CPUS, "bench-semdedup-gen")
+        gen_spark.sparkContext.setLogLevel("ERROR")
+        centers = np.random.Generator(np.random.PCG64(1_000_000_007)).standard_normal(
+            (k_clusters, dim)
+        )
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        bc = gen_spark.sparkContext.broadcast(centers)
+        schema = StructType(
+            [
+                StructField("vec_id", LongType(), False),
+                StructField("embedding", ArrayType(DoubleType(), False), False),
+            ]
+        )
+
+        def gen(batches):
+            C = bc.value
+            for b in batches:
+                ids = b["id"].to_numpy(dtype=np.int64)
+                if not len(ids):
+                    continue
+                noise = np.stack(
+                    [
+                        np.random.Generator(np.random.PCG64(int(i))).standard_normal(dim)
+                        for i in ids
+                    ]
+                )
+                V = C[ids % k_clusters] + 0.03 * noise
+                yield pd.DataFrame(
+                    {"vec_id": ids, "embedding": [row.tolist() for row in V]}
+                )
+
+        src = os.path.join(work, "vectors")
+        gen_spark.range(0, n_total, numPartitions=max(CPUS, 8)).mapInPandas(
+            gen, schema=schema
+        ).write.parquet(src)
+        gen_spark.stop()
+
+        level_runs: dict[str, list[float]] = {}
+        n_small = max(CPUS // 4, 1)
+        kept_total = None
+        for label, cpus in (("N", n_small), ("4N", CPUS)):
+            spark = make_spark(cpus, f"bench-semdedup-scaling-{label}")
+            spark.sparkContext.setLogLevel("ERROR")
+            corpus = spark.read.parquet(src)
+            # warm JVM/codegen/Arrow outside the timings
+            semantic_dedup(
+                corpus.limit(2000), threshold=0.9, n_planes=8, dim=dim
+            ).agg(F.sum("kept")).first()
+            spark.catalog.clearCache()
+            walls = []
+            for _ in range(repeats):
+                t0 = time.time()
+                row = (
+                    semantic_dedup(corpus, threshold=0.9, n_planes=8, dim=dim)
+                    .agg(F.count("*").alias("n"), F.sum("kept").alias("k"))
+                    .first()
+                )
+                walls.append(time.time() - t0)
+                kept_total = int(row["k"])
+                assert int(row["n"]) == n_total
+                spark.catalog.clearCache()
+            spark.stop()
+            level_runs[label] = sorted(walls)
+            out[label] = {
+                "cpus": cpus,
+                "vectors": n_total,
+                "kept": kept_total,
+                "walls_sec": [round(w, 2) for w in walls],
+                "best_vectors_per_sec": round(n_total / min(walls)),
+                "median_vectors_per_sec": round(
+                    n_total / sorted(walls)[len(walls) // 2]
+                ),
+            }
+        ratio = out["4N"]["cpus"] / out["N"]["cpus"]
+        out["scaling_efficiency"] = round(
+            out["4N"]["best_vectors_per_sec"]
+            / (ratio * out["N"]["best_vectors_per_sec"]),
+            4,
+        )
+        out["scaling_efficiency_median"] = round(
+            out["4N"]["median_vectors_per_sec"]
+            / (ratio * out["N"]["median_vectors_per_sec"]),
+            4,
+        )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 STREAM_REPLICAS = int(os.environ.get("SPARK_GRAFT_STREAM_REPLICAS", "100"))
 
 
@@ -634,6 +756,9 @@ def main() -> None:
         return
     if "--webtext-scaling" in args:
         print(json.dumps({"webtext_scaling": webtext_scaling_run()}))
+        return
+    if "--semdedup-scaling" in args:
+        print(json.dumps({"semdedup_scaling": semdedup_scaling_run()}))
         return
     if "--recall" in args:
         print(json.dumps({"recall": recall_run()}))

@@ -515,6 +515,7 @@ def webtext_scaling_run(repeats: int = SCALE_REPEATS) -> dict:
 
 SEMDEDUP_SCALE_N = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_N", "100000"))
 SEMDEDUP_CLUSTERS = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_K", "1000"))
+SEMDEDUP_PLANES = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_PLANES", "8"))
 
 
 def semdedup_scaling_run(repeats: int = SCALE_REPEATS) -> dict:
@@ -592,14 +593,14 @@ def semdedup_scaling_run(repeats: int = SCALE_REPEATS) -> dict:
             corpus = spark.read.parquet(src)
             # warm JVM/codegen/Arrow outside the timings
             semantic_dedup(
-                corpus.limit(2000), threshold=0.9, n_planes=8, dim=dim
+                corpus.limit(2000), threshold=0.9, n_planes=SEMDEDUP_PLANES, dim=dim
             ).agg(F.sum("kept")).first()
             spark.catalog.clearCache()
             walls = []
             for _ in range(repeats):
                 t0 = time.time()
                 row = (
-                    semantic_dedup(corpus, threshold=0.9, n_planes=8, dim=dim)
+                    semantic_dedup(corpus, threshold=0.9, n_planes=SEMDEDUP_PLANES, dim=dim)
                     .agg(F.count("*").alias("n"), F.sum("kept").alias("k"))
                     .first()
                 )

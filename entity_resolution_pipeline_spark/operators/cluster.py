@@ -248,7 +248,11 @@ def _louvain_py(
     partitions are not reproducible run-to-run, which violates this
     engine's reproducibility contract.
 
-    edges: [(u, v, w)] with u != v, strings, each undirected edge once.
+    edges: [(u, v, w)], strings, each undirected edge once.  Self-loops
+    (u == v) are legal — the over-cap coarsening path feeds quotient
+    graphs whose intra-supernode weight rides a self-loop; adj keeps a
+    self-loop ONCE at full weight (the same convention the aggregation
+    step below produces), contributing w to m and 2w to the node degree.
     Returns {node: community_label} where the label is the min member.
 
     A final node-level refinement pass (local moving over ORIGINAL nodes,
@@ -265,8 +269,11 @@ def _louvain_py(
     # tie and change the partition between runs)
     for u, v, w in sorted(edges):
         w = float(w)
-        adj.setdefault(u, {})[v] = adj.get(u, {}).get(v, 0.0) + w
-        adj.setdefault(v, {})[u] = adj.get(v, {}).get(u, 0.0) + w
+        if u == v:
+            adj.setdefault(u, {})[u] = adj.get(u, {}).get(u, 0.0) + w
+        else:
+            adj.setdefault(u, {})[v] = adj.get(u, {}).get(v, 0.0) + w
+            adj.setdefault(v, {})[u] = adj.get(v, {}).get(u, 0.0) + w
         m += w
     if m <= 0.0:
         return {n: n for n in adj}
@@ -380,12 +387,140 @@ def _louvain_py(
     return out
 
 
+def _coarsen_labels(
+    big: DataFrame, resolution: float, rounds: int
+) -> DataFrame:
+    """Synchronous distributed modularity local-moving over the edges of
+    OVERSIZED components — the coarsening half of the over-cap Louvain
+    path.  big: (src, dst, w, component), no self-loops, each undirected
+    edge once.  Returns (node, label) where each label group is a
+    supernode for the quotient graph (label = min member, string order).
+
+    Each round the ACTIVE half of the nodes (hash-parity coloring:
+    xxhash64(u) % 2 == round % 2 — the color-class trick of distributed
+    Louvain, Que et al. 2015) evaluates the standard Louvain gain of
+    joining a neighboring community c: links(u,c) − γ·tot(c)·k(u)/(2m)
+    vs the gain of staying, computed from the CURRENT labels (synchronous
+    — all active nodes decide against the same snapshot, pure DataFrame
+    aggs).  Alternating parity is what makes synchronous moving safe:
+    most mutual-adoption swaps (the classic sync-LPA oscillation) cannot
+    happen because adjacent nodes usually move in different rounds, and
+    the residual same-parity swap self-resolves — after a swap each
+    node's next active round sees the other's community as a strict-gain
+    merge target, so swaps decay into merges rather than oscillating.  A
+    plain monotone only-adopt-smaller-labels rule was measured to
+    over-merge instead (a clique's min node has no smaller clique-mate,
+    so its only admissible target is the bridge neighbor — gluing
+    communities across bridges that the quotient kernel can never split).
+    Ties break toward the smaller label; gains compare after 9-dp
+    rounding so partition-order ulp noise cannot flip a decision (the
+    engine's parallelism-determinism contract; residual risk = a gain
+    genuinely within 5e-10 of a tie, same class as the semantic_dedup
+    sign guard).
+    """
+    from pyspark.sql import Window
+
+    both = big.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), "w", "component"
+    ).unionAll(
+        big.select(
+            F.col("dst").alias("u"), F.col("src").alias("v"), "w", "component"
+        )
+    )
+    # materialized once: every round's links agg + the final quotient build
+    # re-read this table instead of re-executing the CC join lineage
+    both = both.localCheckpoint(eager=True)
+    m = big.groupBy("component").agg(F.sum("w").alias("m"))
+    deg = (
+        both.groupBy("u", "component")
+        .agg(F.sum("w").alias("k"))
+        .join(m, "component")
+        .select("u", "k", "m")
+        .localCheckpoint(eager=True)
+    )
+    labels = deg.select("u", F.col("u").alias("label"))
+    idle = 0
+    for rnd in range(max(rounds, 0)):
+        lab_v = labels.select(F.col("u").alias("v"), F.col("label").alias("lab_v"))
+        links = both.join(lab_v, "v").groupBy("u", "lab_v").agg(
+            F.sum("w").alias("l")
+        )
+        tot = (
+            labels.join(deg.select("u", "k"), "u")
+            .groupBy("label")
+            .agg(F.sum("k").alias("tot"))
+        )
+        cur = labels.select("u", F.col("label").alias("cur"))
+        base = (
+            deg.join(cur, "u")
+            .join(
+                tot.select(F.col("label").alias("cur"), F.col("tot").alias("tc")),
+                "cur",
+            )
+            .join(
+                links.select(
+                    "u", F.col("lab_v").alias("cur"), F.col("l").alias("lc")
+                ),
+                ["u", "cur"],
+                "left",
+            )
+            .select(
+                "u",
+                "k",
+                "m",
+                "cur",
+                (
+                    F.coalesce("lc", F.lit(0.0))
+                    - resolution
+                    * (F.col("tc") - F.col("k"))
+                    * F.col("k")
+                    / (2.0 * F.col("m"))
+                ).alias("base"),
+            )
+        )
+        gain = (
+            F.col("l")
+            - resolution * F.col("tot") * F.col("k") / (2.0 * F.col("m"))
+            - F.col("base")
+        )
+        cand = (
+            links.join(base, "u")
+            .where(F.col("lab_v") != F.col("cur"))
+            .where(F.pmod(F.xxhash64("u"), F.lit(2)) == F.lit(rnd % 2))
+            .join(tot.select(F.col("label").alias("lab_v"), "tot"), "lab_v")
+            .withColumn("g", F.round(gain, 9))
+            .where(F.col("g") > 0)
+        )
+        rk = Window.partitionBy("u").orderBy(F.desc("g"), F.asc("lab_v"))
+        moves = (
+            cand.withColumn("rk", F.row_number().over(rk))
+            .where(F.col("rk") == 1)
+            .select("u", F.col("lab_v").alias("new_label"))
+        )
+        if moves.isEmpty():
+            idle += 1
+            if idle >= 2:
+                break  # both parity classes idle back-to-back — converged
+            continue
+        idle = 0
+        labels = (
+            labels.join(moves, "u", "left")
+            .select("u", F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    roots = labels.groupBy("label").agg(F.min("u").alias("root"))
+    return labels.join(roots, "label").select(
+        "u", F.col("root").alias("label")
+    )
+
+
 def louvain_communities(
     edges: DataFrame,
     weight_col: str | None = None,
     resolution: float = 1.0,
     cfg: ClusteringConfig = ClusteringConfig(),
     max_component_edges: int = 2_000_000,
+    coarsen_rounds: int = 8,
 ) -> DataFrame:
     """edges(src, dst[, weight]) → assignments(entity_id, community).
 
@@ -396,17 +531,28 @@ def louvain_communities(
     distributed part is the proven large-star/small-star connected
     components; each component's subgraph then gets EXACT deterministic
     Louvain inside one Arrow batch (_louvain_py) — the same
-    confined-decomposition shape as semantic_dedup's bucket-local CC.  In
-    ER the match graph is sparse by blocking design, so components are
-    small; a component whose edge count exceeds max_component_edges falls
-    back (with a RuntimeWarning) to one-community-per-component — the CC
-    answer — rather than OOMing an executor; the warning names the
-    component so the caller can re-block.
+    confined-decomposition shape as semantic_dedup's bucket-local CC.
+
+    A component whose edge count exceeds max_component_edges would OOM
+    its executor in the exact kernel, so it takes the OVER-CAP path
+    (r4, replacing the old one-community-per-component collapse): up to
+    `coarsen_rounds` synchronous distributed local-moving rounds
+    (_coarsen_labels — LPA-shaped, modularity gains, deterministic
+    monotone tie-breaks) coarsen it, then the exact kernel runs on the
+    QUOTIENT graph (supernode = coarsen label, intra-weight as self-loop)
+    and the result maps back through the labels.  The caller still gets a
+    RuntimeWarning naming the components — coarsened communities skip the
+    original-node refinement pass, so single-node local optimality holds
+    at supernode granularity only.  If the quotient STILL exceeds the cap
+    (or coarsen_rounds=0 disables coarsening) that component falls back
+    to one-community-per-component — the CC answer — with its own
+    warning, rather than OOMing.
 
     Community label = min member id (string order, the CC root
     convention).  Deterministic at any parallelism: component assignment
-    is deterministic, per-component Louvain is deterministic, and
-    groupBy routing does not affect either."""
+    is deterministic, per-component Louvain is deterministic, coarsening
+    rounds compare 9-dp-rounded gains with ordered tie-breaks, and
+    groupBy routing affects none of them."""
     import pandas as pd
 
     w = (
@@ -425,43 +571,17 @@ def louvain_communities(
         .agg(F.sum("w").alias("w"))
     )
     comp = connected_components(e.select("src", "dst"), cfg)
+    # materialized once (CC already ran its actions; this pins the join) so
+    # the over-cap pre-scan agg and the main plan share one edge table
+    # instead of executing the join lineage twice (ADVICE r3)
     tagged = e.join(
         comp.withColumnRenamed("entity_id", "src").withColumnRenamed(
             "root", "component"
         ),
         "src",
-    )
-
-    # over-cap detection runs DRIVER-side (one tiny agg over the tagged
-    # edge list, collects only the offending component ids) so the warning
-    # is visible to the caller, not buried in an executor's Python worker
-    oversized = {
-        r["component"]
-        for r in tagged.groupBy("component")
-        .agg(F.count("*").alias("n"))
-        .where(F.col("n") > max_component_edges)
-        .collect()
-    }
-    if oversized:
-        import warnings
-
-        sample = sorted(oversized)[:5]
-        warnings.warn(
-            f"louvain_communities: {len(oversized)} component(s) exceed "
-            f"max_component_edges={max_component_edges} (e.g. {sample}); "
-            "falling back to one community per oversized component — "
-            "re-block or raise the cap for finer structure",
-            RuntimeWarning,
-            stacklevel=2,
-        )
+    ).localCheckpoint(eager=True)
 
     def _run(key, pdf):
-        component = key[0]
-        if component in oversized:
-            nodes = set(pdf["src"]) | set(pdf["dst"])
-            return pd.DataFrame(
-                {"entity_id": sorted(nodes), "community": component}
-            )
         part = _louvain_py(
             list(zip(pdf["src"], pdf["dst"], pdf["w"])), resolution=resolution
         )
@@ -469,9 +589,94 @@ def louvain_communities(
             {"entity_id": list(part), "community": [part[n] for n in part]}
         )
 
-    return tagged.groupBy("component").applyInPandas(
-        _run, schema="entity_id string, community string"
+    schema = "entity_id string, community string"
+
+    # over-cap detection runs DRIVER-side (one tiny agg over the pinned
+    # edge table, collects only the offending component ids) so the warning
+    # is visible to the caller, not buried in an executor's Python worker —
+    # and because routing the oversized components to the coarsen path is a
+    # driver decision
+    oversized = {
+        r["component"]
+        for r in tagged.groupBy("component")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > max_component_edges)
+        .collect()
+    }
+    if not oversized:
+        return tagged.groupBy("component").applyInPandas(_run, schema=schema)
+
+    import warnings
+
+    big_ids = sorted(oversized)
+    warnings.warn(
+        f"louvain_communities: {len(oversized)} component(s) exceed "
+        f"max_component_edges={max_component_edges} (e.g. {big_ids[:5]}); "
+        f"coarsening with {coarsen_rounds} distributed local-moving "
+        "round(s) before the exact kernel — communities there are locally "
+        "optimal at supernode granularity only; re-block or raise the cap "
+        "for exact treatment",
+        RuntimeWarning,
+        stacklevel=2,
     )
+    small = tagged.where(~F.col("component").isin(big_ids))
+    big = tagged.where(F.col("component").isin(big_ids))
+    part_small = small.groupBy("component").applyInPandas(_run, schema=schema)
+
+    labels = _coarsen_labels(big, resolution, coarsen_rounds)
+    quotient = (
+        big.join(
+            labels.select(F.col("u").alias("src"), F.col("label").alias("lu")),
+            "src",
+        )
+        .join(
+            labels.select(F.col("u").alias("dst"), F.col("label").alias("lv")),
+            "dst",
+        )
+        .groupBy(
+            "component",
+            F.least("lu", "lv").alias("src"),
+            F.greatest("lu", "lv").alias("dst"),
+        )
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    still_over = {
+        r["component"]
+        for r in quotient.groupBy("component")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > max_component_edges)
+        .collect()
+    }
+    parts = [part_small]
+    ok = quotient.where(~F.col("component").isin(sorted(still_over)))
+    part_q = ok.groupBy("component").applyInPandas(_run, schema=schema)
+    # map supernode communities back to original nodes
+    parts.append(
+        labels.join(
+            part_q.withColumnRenamed("entity_id", "label"), "label"
+        ).select(F.col("u").alias("entity_id"), "community")
+    )
+    if still_over:
+        warnings.warn(
+            f"louvain_communities: {len(still_over)} component(s) still "
+            f"exceed the cap after coarsening (e.g. {sorted(still_over)[:5]}); "
+            "falling back to one community per component there",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        fb = big.where(F.col("component").isin(sorted(still_over)))
+        nodes_fb = (
+            fb.select(F.col("src").alias("entity_id"), "component")
+            .unionAll(fb.select(F.col("dst").alias("entity_id"), "component"))
+            .distinct()
+            .select("entity_id", F.col("component").alias("community"))
+        )
+        parts.append(nodes_fb)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def modularity(
@@ -484,7 +689,11 @@ def modularity(
     assignments: (entity_id, community) — e.g. connected_components
     (renamed root), label_propagation, or louvain_communities output.
     Nodes absent from assignments keep their own id (singleton
-    convention)."""
+    convention).  Self-loops COUNT, with the networkx convention (r4,
+    ADVICE r3): a self-loop of weight w adds w to m, w to its community's
+    intra_w, and 2w to its community's degree_w.  An empty (or
+    zero-weight) edge set yields contribution 0.0 for every community
+    rather than a null/divide-by-zero."""
     w = (
         F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     ).alias("w")
@@ -494,7 +703,6 @@ def modularity(
             F.greatest("src", "dst").alias("dst"),
             w,
         )
-        .where(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
     )
@@ -548,13 +756,19 @@ def modularity(
             "n_nodes",
             F.coalesce("intra_w", F.lit(0.0)).alias("intra_w"),
             F.coalesce("degree_w", F.lit(0.0)).alias("degree_w"),
-            F.round(
-                F.coalesce("intra_w", F.lit(0.0)) / F.col("m")
-                - F.pow(
-                    F.coalesce("degree_w", F.lit(0.0)) / (2.0 * F.col("m")), 2
+            F.when(
+                F.coalesce("m", F.lit(0.0)) > 0,
+                F.round(
+                    F.coalesce("intra_w", F.lit(0.0)) / F.col("m")
+                    - F.pow(
+                        F.coalesce("degree_w", F.lit(0.0)) / (2.0 * F.col("m")),
+                        2,
+                    ),
+                    6,
                 ),
-                6,
-            ).alias("contribution"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("contribution"),
         )
     )
     return out

@@ -747,10 +747,12 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 4,
+    n_planes: int | str = "auto",
     seed: str = "semdedup",
     dim: int | None = None,
-    max_bucket_size: int | None = 5000,
+    matmul_block: int | None = 1024,
+    target_bucket: int = 4096,
+    assignment: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) semantic deduplication, LSH-sharded.
 
@@ -763,13 +765,23 @@ def semantic_dedup(
     concat_j[sign(v·p_j)].  At 10^12 docs that swap is what makes the plan
     shuffle-safe — no iterative centroid fitting, no driver state, bucket
     assignment is a pure column expression, and n_planes tunes shard size
-    (each plane halves the expected bucket ≈ n/2^planes; production sizing
-    n_planes ≈ log2(n / target_cluster)).  Near-duplicate pairs straddling
-    a bucket boundary are missed — the same recall tradeoff the paper
-    accepts across k-means cell boundaries.
+    (each plane halves the expected bucket ≈ n/2^planes).  Near-duplicate
+    pairs straddling a bucket boundary are missed — the same recall
+    tradeoff the paper accepts across k-means cell boundaries.
 
-    Physical plan — deliberately TWO stages total: one JVM projection for
-    bucket assignment (index-select fold dot per plane, no UDF), then ONE
+    BUCKET SIZE is bounded ONLY by n_planes sizing — nothing inside the
+    operator caps or salts a hot bucket, and a bucket of n_b vectors costs
+    O(n_b²) cosine work on the one worker it lands on.  The default
+    n_planes="auto" therefore derives the plane count from a corpus count
+    (one cheap agg, the only extra job): n_planes = max(4, ceil(log2(n /
+    target_bucket))), i.e. expected bucket ≈ target_bucket (default 4096
+    ≈ the paper's ~n/10k k-means cell at its 100M scale, and small enough
+    that a worst-case 10×-expected hot bucket is still sub-second of
+    matmul).  Pass an explicit int to pin the assignment (the contract
+    query does, so its DuckDB oracle can replay the identical planes).
+
+    Physical plan — deliberately TWO stages total: one projection for
+    bucket assignment, then ONE
     groupBy(bucket)-applyInPandas stage that computes the paper's ENTIRE
     per-cluster semantics vectorized in numpy — centroid (mean), centroid
     cosine, blocked pairwise-cosine matmul, min-label-propagation
@@ -781,11 +793,11 @@ def semantic_dedup(
     edge incident to it lives there).  No second shuffle, no persist, no
     join-backs, no per-pair or per-row Python, no interpreted
     higher-order-function cosine (measured ~16 µs/pair — the reason this
-    is NOT a cosine_expr self-join).  The matmul block is capped at 1024
-    rows so each worker holds ≤ block × n_bucket cosines — flat memory at
-    any bucket size (`max_bucket_size` lowers it further if desired); a
-    genuinely hot bucket costs O(n_b²) wherever it runs — production
-    n_planes sizing is the lever.
+    is NOT a cosine_expr self-join).  `matmul_block` (clamped to
+    [16, 1024]) is the row-block of the pairwise matmul: each worker holds
+    ≤ block × n_bucket cosines — flat MEMORY at any bucket size.  It does
+    NOT bound bucket COMPUTE; n_planes sizing is the only lever for that
+    (see the bucket-size paragraph above).
 
     Returns one row per input vector:
       (id_col: long, bucket: string, root: string, cent_cos: double,
@@ -799,45 +811,103 @@ def semantic_dedup(
     threshold=0.30 to exercise group formation; production text embeddings
     use ≥ 0.9.
     """
+    import math
+
     import numpy as np
 
     if dim is None:
         first = embeddings.select(vec_col).first()
         dim = len(first[0]) if first else 0
-    planes = rademacher_planes(dim, n_planes, seed)
+    if n_planes == "auto":
+        n = embeddings.count()
+        n_planes = max(4, math.ceil(math.log2(max(n, 1) / target_bucket)))
+    planes = rademacher_planes(dim, int(n_planes), seed)
 
-    # ±1 planes admit a cheaper dot than a zip_with fold: v·p = 2·Σ_{i∈S}v[i]
-    # − Σv[i] where S = {i : p[i] = +1}.  Halves the literal count and the
-    # per-plane fold width (measured 2.1× faster assignment).  Absolute fp
-    # error vs the oracle's list_inner_product is ~1e-16 (operands are
-    # O(1)), far inside the 6-dp rounding guard on the sign test.
-    total = F.aggregate(F.col("vec"), F.lit(0.0), lambda acc, x: acc + x)
+    # Two assignment paths, identical semantics (sign of the plane dot,
+    # rounded 6 dp before the test):
+    #   "expr"  — pure JVM column expressions.  ±1 planes admit a cheaper
+    #     dot than a zip_with fold: v·p = 2·Σ_{i∈S}v[i] − Σv[i] where
+    #     S = {i : p[i] = +1} (measured 2.1× faster than the fold).  Zero
+    #     Python, but Spark evaluates higher-order lambdas INTERPRETED —
+    #     measured ~0.4 ms/row/core at dim 512 × 10 planes, which makes
+    #     assignment (not the cosine kernel) the bottleneck at production
+    #     embedding widths.
+    #   "arrow" — one mapInArrow stage computing signs of V @ P.T in
+    #     numpy (planes ride the closure; BLAS batch dot ~µs/row at dim
+    #     1536).  mapInArrow, NOT mapInPandas: the vector column passes
+    #     through as the INPUT Arrow buffer untouched (zero-copy in via
+    #     ListArray.flatten().to_numpy(), zero-copy out by re-emitting the
+    #     input arrays) — the pandas variant re-serializes every vector
+    #     Python→Arrow on the way back, measured as ~70% of the map-stage
+    #     wall at dim 512.  Same 6-dp rounding; fp disagreement with the
+    #     expr path requires a plane dot within ~1e-13 of a 6-dp boundary
+    #     (the residual risk already documented for the DuckDB oracle).
+    # "auto" picks expr up to dim 128 (keeps the oracle-pinned contract
+    # query byte-stable and UDF-free) and arrow above it.
+    if assignment == "auto":
+        assignment = "expr" if dim <= 128 else "arrow"
+    if assignment == "expr":
+        total = F.aggregate(F.col("vec"), F.lit(0.0), lambda acc, x: acc + x)
 
-    def _plane_dot(p: list[float]) -> F.Column:
-        sel = F.array(*[F.lit(i) for i, s in enumerate(p) if s > 0])
-        ssum = F.aggregate(
-            F.transform(sel, lambda i: F.col("vec")[i]),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        def _plane_dot(p: list[float]) -> F.Column:
+            sel = F.array(*[F.lit(i) for i, s in enumerate(p) if s > 0])
+            ssum = F.aggregate(
+                F.transform(sel, lambda i: F.col("vec")[i]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            return 2.0 * ssum - F.col("__tot")
+
+        bucket = F.concat(
+            *[
+                F.when(F.round(_plane_dot(p), 6) >= 0, F.lit("1")).otherwise(
+                    F.lit("0")
+                )
+                for p in planes
+            ]
+        ).alias("bucket")
+        v = (
+            embeddings.select(
+                F.col(id_col).alias("id"),
+                F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                    "vec"
+                ),
+            )
+            .withColumn("__tot", total)
+            .select("id", "vec", bucket)
         )
-        return 2.0 * ssum - F.col("__tot")
+    elif assignment == "arrow":
+        P = np.asarray(planes, dtype=np.float64)
+        n_pl = len(planes)
 
-    bucket = F.concat(
-        *[
-            F.when(F.round(_plane_dot(p), 6) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for p in planes
-        ]
-    ).alias("bucket")
-    v = (
-        embeddings.select(
-            F.col(id_col).alias("id"),
+        def _assign(batches):
+            import pyarrow as pa
+
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                vec = rb.column(rb.schema.get_field_index("vec"))
+                V = vec.flatten().to_numpy(zero_copy_only=False).reshape(
+                    rb.num_rows, -1
+                )
+                bits = np.round(V @ P.T, 6) >= 0
+                codes = bits @ (1 << np.arange(n_pl - 1, -1, -1, dtype=np.int64))
+                buckets = pa.array(
+                    [format(c, f"0{n_pl}b") for c in codes.tolist()],
+                    pa.string(),
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(0), rb.column(1), buckets],
+                    ["id", "vec", "bucket"],
+                )
+        v = embeddings.select(
+            F.col(id_col).cast("long").alias("id"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
-        )
-        .withColumn("__tot", total)
-        .select("id", "vec", bucket)
-    )
+        ).mapInArrow(_assign, schema="id long, vec array<double>, bucket string")
+    else:
+        raise ValueError(f"assignment must be auto|expr|arrow, got {assignment!r}")
 
-    blk = max(min(int(max_bucket_size or 1024), 1024), 16)
+    blk = max(min(int(matmul_block or 1024), 1024), 16)
 
     def _bucket_semdedup(key, pdf):
         ids = pdf["id"].to_numpy(dtype="int64")

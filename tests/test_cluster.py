@@ -218,22 +218,190 @@ class TestLouvain:
         )
         assert a == b
 
-    def test_component_cap_fallback(self, spark):
+    def test_component_cap_coarsen_path(self, spark):
+        """r4: an over-cap component is coarsened (distributed local-moving
+        rounds) and the exact kernel runs on the quotient — the barbell
+        still resolves to its two cliques instead of collapsing to the CC
+        answer, with a driver-visible warning."""
         from entity_resolution_pipeline_spark.operators.cluster import (
             louvain_communities,
         )
 
         df = spark.createDataFrame(self._barbell(), ["src", "dst", "weight"])
+        # cap=5: the 21-edge barbell is over cap; its coarsened quotient
+        # (3 supernodes, 4 edges — the bridge keeps one singleton supernode)
+        # fits under it, so the exact kernel runs on the quotient
         with pytest.warns(RuntimeWarning, match="max_component_edges"):
             part = {
                 r["entity_id"]: r["community"]
                 for r in louvain_communities(
-                    df, weight_col="weight", max_component_edges=3
+                    df, weight_col="weight", max_component_edges=5
                 ).collect()
             }
-        # falls back to the CC answer: one community, labeled by the root
+        comms = {}
+        for n, c in part.items():
+            comms.setdefault(c, set()).add(n)
+        assert sorted(comms.values(), key=min) == [
+            {f"n{i:02d}" for i in range(5)},
+            {f"n{i:02d}" for i in range(10, 15)},
+        ]
+        for c, mem in comms.items():
+            assert c == min(mem)
+
+    def test_component_cap_cc_fallback_when_coarsening_disabled(self, spark):
+        from entity_resolution_pipeline_spark.operators.cluster import (
+            louvain_communities,
+        )
+
+        df = spark.createDataFrame(self._barbell(), ["src", "dst", "weight"])
+        with pytest.warns(RuntimeWarning, match="one community per component"):
+            part = {
+                r["entity_id"]: r["community"]
+                for r in louvain_communities(
+                    df,
+                    weight_col="weight",
+                    max_component_edges=3,
+                    coarsen_rounds=0,
+                ).collect()
+            }
+        # coarsen_rounds=0: quotient == original, still over cap → CC answer
         assert set(part.values()) == {"n00"}
         assert len(part) == 10
+
+    def test_over_cap_beats_cc_fallback_modularity(self, spark):
+        """The done-criterion of VERDICT r3 ask #3: on a generated over-cap
+        graph, the coarsen-then-exact partition's modularity strictly
+        exceeds the CC fallback's, and matches the uncapped exact run."""
+        import warnings as _w
+
+        import networkx as nx
+        from networkx.algorithms.community import modularity as nxmod
+
+        from entity_resolution_pipeline_spark.operators.cluster import (
+            louvain_communities,
+        )
+
+        # ring of 8 cliques (6 nodes each) bridged in a cycle — one CC,
+        # 128 edges, clear community structure
+        edges = []
+        import itertools
+
+        for k in range(8):
+            base = 10 * k
+            for a, b in itertools.combinations(range(base, base + 6), 2):
+                edges.append((f"m{a:03d}", f"m{b:03d}", 1.0))
+            nxt = 10 * ((k + 1) % 8)
+            edges.append((f"m{base + 5:03d}", f"m{nxt:03d}", 1.0))
+        df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+        H = nx.Graph()
+        for u, v, w in edges:
+            H.add_edge(u, v, weight=w)
+
+        def q(partition_rows):
+            comms = {}
+            for r in partition_rows:
+                comms.setdefault(r["community"], set()).add(r["entity_id"])
+            return nxmod(H, list(comms.values()), weight="weight")
+
+        exact = louvain_communities(df, weight_col="weight").collect()
+        with _w.catch_warnings():
+            _w.simplefilter("ignore", RuntimeWarning)
+            coarsened = louvain_communities(
+                df, weight_col="weight", max_component_edges=50
+            ).collect()
+            fallback = louvain_communities(
+                df,
+                weight_col="weight",
+                max_component_edges=50,
+                coarsen_rounds=0,
+            ).collect()
+        assert q(coarsened) > q(fallback) + 0.1
+        assert abs(q(coarsened) - q(exact)) < 1e-9
+
+    def test_over_cap_parallelism_determinism(self, spark):
+        import warnings as _w
+
+        from entity_resolution_pipeline_spark.operators.cluster import (
+            louvain_communities,
+        )
+
+        df = spark.createDataFrame(self._barbell(), ["src", "dst", "weight"])
+        with _w.catch_warnings():
+            _w.simplefilter("ignore", RuntimeWarning)
+            a = sorted(
+                map(
+                    tuple,
+                    louvain_communities(
+                        df, weight_col="weight", max_component_edges=5
+                    ).collect(),
+                )
+            )
+            b = sorted(
+                map(
+                    tuple,
+                    louvain_communities(
+                        df.repartition(7),
+                        weight_col="weight",
+                        max_component_edges=5,
+                    ).collect(),
+                )
+            )
+        assert a == b
+
+
+def test_modularity_self_loops_match_networkx(spark):
+    """ADVICE r3: self-loops count — w into m and intra, 2w into degree —
+    matching networkx's convention exactly."""
+    import networkx as nx
+    from networkx.algorithms.community import modularity as nxmod
+
+    from entity_resolution_pipeline_spark.operators.cluster import modularity
+
+    edges = [
+        ("a", "b", 2.0),
+        ("b", "c", 1.0),
+        ("a", "a", 3.0),  # self-loop inside community 1
+        ("d", "d", 1.5),  # self-loop as its own community
+        ("c", "d", 0.5),
+    ]
+    assign = [("a", "x"), ("b", "x"), ("c", "y"), ("d", "y")]
+    df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    adf = spark.createDataFrame(assign, ["entity_id", "community"])
+    rows = modularity(df, adf, weight_col="weight").collect()
+    H = nx.Graph()
+    for u, v, w in edges:
+        H.add_edge(u, v, weight=w)
+    q_nx = nxmod(H, [{"a", "b"}, {"c", "d"}], weight="weight")
+    q_ours = sum(r["contribution"] for r in rows)
+    assert abs(q_ours - q_nx) < 1e-5
+
+
+def test_modularity_empty_graph_defined(spark):
+    """ADVICE r3: empty edge set → contribution 0.0, not null/div-by-zero."""
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from entity_resolution_pipeline_spark.operators.cluster import modularity
+
+    schema = StructType(
+        [
+            StructField("src", StringType()),
+            StructField("dst", StringType()),
+            StructField("weight", DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame([], schema)
+    adf = spark.createDataFrame(
+        [("a", "x"), ("b", "x")], ["entity_id", "community"]
+    )
+    rows = modularity(df, adf, weight_col="weight").collect()
+    assert len(rows) == 1
+    assert rows[0]["community"] == "x"
+    assert rows[0]["contribution"] == 0.0
 
 
 def test_modularity_matches_networkx(spark):

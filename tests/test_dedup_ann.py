@@ -558,8 +558,34 @@ class TestSemanticDedup:
             assert len(reps) == 1
             assert out[reps[0]]["cent_cos"] == min(out[i]["cent_cos"] for i in g)
 
-    def test_salting_invariance(self, emb):
-        """Forcing the hot-bucket grid on (cap=2) must not change output."""
-        a = sorted(map(tuple, dedup.semantic_dedup(emb, threshold=0.95, max_bucket_size=None).collect()))
-        b = sorted(map(tuple, dedup.semantic_dedup(emb, threshold=0.95, max_bucket_size=2).collect()))
+    def test_matmul_block_invariance(self, emb):
+        """The matmul row-block is a memory knob, not a semantic one:
+        shrinking it to the floor (2 clamps to 16, forcing multi-chunk
+        matmuls on every bucket) must leave output bit-identical."""
+        a = sorted(map(tuple, dedup.semantic_dedup(emb, threshold=0.95, matmul_block=None).collect()))
+        b = sorted(map(tuple, dedup.semantic_dedup(emb, threshold=0.95, matmul_block=2).collect()))
         assert a == b
+
+    def test_auto_planes_small_corpus_matches_explicit(self, emb):
+        """n_planes='auto' on a corpus below target_bucket derives the
+        floor (4 planes) — identical output to the explicit default."""
+        a = sorted(map(tuple, dedup.semantic_dedup(emb, threshold=0.95, n_planes="auto").collect()))
+        b = sorted(map(tuple, dedup.semantic_dedup(emb, threshold=0.95, n_planes=4).collect()))
+        assert a == b
+
+    def test_assignment_paths_agree(self, emb):
+        """The interpreted-expression and Arrow (numpy V @ P.T) bucket
+        assignments compute the same 6dp-rounded plane signs — full output
+        parity on the duplicate-structured fixture."""
+        a = sorted(map(tuple, dedup.semantic_dedup(emb, threshold=0.95, assignment="expr").collect()))
+        b = sorted(map(tuple, dedup.semantic_dedup(emb, threshold=0.95, assignment="arrow").collect()))
+        assert a == b
+
+    def test_auto_planes_derivation(self):
+        """auto sizing: n_planes = max(4, ceil(log2(n / target_bucket)))."""
+        import math
+
+        for n, tb, want in ((15, 4096, 4), (4096, 4096, 4), (10**8, 4096, 15),
+                            (10**12, 4096, 28), (10**6, 1024, 10)):
+            got = max(4, math.ceil(math.log2(max(n, 1) / tb)))
+            assert got == want

@@ -1986,7 +1986,15 @@ def _semantic_dedup_sql(
     by the SAME rademacher_planes call the operator uses (engine-portable
     parameters, the _quality_classifier_sql pattern), buckets/centroids/
     pairs recomputed in SQL, components via the recursive-CTE walk, and the
-    keep-least-central representative via row_number."""
+    keep-least-central representative via row_number.
+
+    Residual parity risk (accepted, ADVICE r3): the engine's expr path
+    computes the plane dot as 2·Σ_{S}v[i] − Σv[i] while this oracle uses
+    list_inner_product — both round to 6 dp before the sign test, so a
+    bucket can differ between engine and oracle only when a plane dot lies
+    within fp-noise (~1e-13 for O(1) operands) of an exact multiple of
+    1e-6.  The one place the value-level oracle is probabilistic rather
+    than exact; never observed on the fixtures."""
     from entity_resolution_pipeline_spark.operators.dedup import rademacher_planes
 
     planes = rademacher_planes(dim, n_planes)

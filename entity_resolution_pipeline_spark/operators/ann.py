@@ -345,7 +345,7 @@ def ivf_topk(
     cells = make_ivf_cells_udf(C, n_probe)
     base = corpus.select(
         F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
     ).withColumn("c", cells("vec"))
     # members + queries (and, with salting, the cell-size aggs) all read
     # base: materialize once so the assignment UDF runs once per vector.
@@ -407,7 +407,7 @@ def lsh_bucket_topk(
     srp = make_srp_bucket_udf(dim, n_planes=n_planes, n_tables=n_tables)
     v = corpus.select(
         F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
     ).withColumn("bucket", F.explode(srp("vec")))
     if max_bucket_size:
         # salting reads v twice (bucket-size agg + join); materialize so the

@@ -328,7 +328,7 @@ def srp_neardup_pairs(
     srp = make_srp_bucket_udf(dim, n_planes=n_planes, n_tables=n_tables)
     v = embeddings.select(
         F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
     ).withColumn("bucket", F.explode(srp("vec")))
     if max_bucket_size:
         # cache ownership: lives for THIS plan; loop callers clearCache()
@@ -869,9 +869,7 @@ def semantic_dedup(
         v = (
             embeddings.select(
                 F.col(id_col).alias("id"),
-                F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-                    "vec"
-                ),
+                F.col(vec_col).cast("array<double>").alias("vec"),
             )
             .withColumn("__tot", total)
             .select("id", "vec", bucket)
@@ -902,7 +900,7 @@ def semantic_dedup(
                 )
         v = embeddings.select(
             F.col(id_col).cast("long").alias("id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
         ).mapInArrow(_assign, schema="id long, vec array<double>, bucket string")
     else:
         raise ValueError(f"assignment must be auto|expr|arrow, got {assignment!r}")

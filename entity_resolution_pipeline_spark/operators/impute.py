@@ -41,10 +41,10 @@ def knn_candidates(
     srp = make_srp_bucket_udf(dim, n_planes=n_planes, n_tables=n_tables)
     t = targets.select(
         "record_id",
-        F.transform("query_vec", lambda x: x.cast("double")).alias("tv"),
+        F.col("query_vec").cast("array<double>").alias("tv"),
     ).withColumn("bucket", F.explode(srp("tv")))
     d = donors.withColumn(
-        "dv", F.transform("query_vec", lambda x: x.cast("double"))
+        "dv", F.col("query_vec").cast("array<double>")
     ).withColumn("bucket", F.explode(srp("query_vec")))
     joined = (
         t.join(d, "bucket")

@@ -6,14 +6,17 @@ text, decode deferred to Arrow-batched UDFs near the consumer).
 
 The Spark-side plumbing here is real and tested: schemas, `mapInPandas`
 batch shapes, partition-preserving transforms.  All three towers decode
-REAL content: IMAGE via Pillow if installed, else the stdlib baseline-PNG
-codec (functions/minipng.py); AUDIO via stdlib `wave` PCM parsing
+REAL content: IMAGE via Pillow if installed, else the stdlib codecs by
+signature — baseline PNG (functions/minipng.py) and baseline-sequential
+JPEG incl. 4:2:0/4:2:2 chroma (functions/minijpg.py, r4 — the format real
+web corpora are actually full of); AUDIO via stdlib `wave` PCM parsing
 (functions/miniwav.py); VIDEO via the MPNG motion-PNG container
 (functions/minivid.py — indexed PNG frame sequence, the MJPEG role; no
 H.264-class codec ships in this stdlib, so arbitrary mp4 bytes fall back
 to the deterministic content-hash stand-in, same as undecodable
-image/audio bytes).  Dropping in a real codec (PyAV/Pillow) widens the
-decodable set without any pipeline change.
+image/audio bytes — progressive JPEGs land there too).  Dropping in a
+real codec (PyAV/Pillow) widens the decodable set without any pipeline
+change.
 """
 
 from __future__ import annotations
@@ -78,8 +81,9 @@ def _try_real_decoder(kind: str):
 
 def _decode_image(data: bytes) -> np.ndarray | None:
     """bytes → (h, w, c) uint8 pixels, or None if not a decodable image.
-    Pillow when installed (all formats); otherwise the pure-stdlib baseline
-    PNG decoder (functions/minipng.py)."""
+    Pillow when installed (all formats); otherwise the pure-stdlib codecs
+    dispatched by signature — baseline PNG (functions/minipng.py) or
+    baseline-sequential JPEG (functions/minijpg.py)."""
     if not data:
         return None
     pil = _try_real_decoder("image")
@@ -90,6 +94,15 @@ def _decode_image(data: bytes) -> np.ndarray | None:
             img = np.asarray(pil.open(io.BytesIO(data)).convert("RGBA"))
             return img
         except Exception:
+            return None
+    if data[:2] == b"\xff\xd8":
+        from ..functions.minijpg import decode_jpeg
+
+        try:
+            return decode_jpeg(data)
+        except (ValueError, struct.error, IndexError, OverflowError, KeyError):
+            # truncated scans / progressive profiles / missing tables all
+            # map to None (NULL row), never a task abort
             return None
     from ..functions.minipng import decode_png
 
@@ -334,13 +347,16 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def synthetic_media_df(spark, n: int = 64, partitions: int = 4) -> DataFrame:
     """Deterministic fake media table for tests/benchmarks.  Image rows
-    carry REAL encoded PNGs (seeded gradient+noise pixels through
-    minipng.encode_png), audio rows REAL 16-bit PCM WAVs (seeded sine
-    mixture + noise through miniwav.encode_wav), and video rows REAL MPNG
-    frame containers (seeded moving-gradient PNG frames through
-    minivid.encode_mpng) — every decode path runs on actual bytes.  One in
-    five video rows instead carries an opaque non-MPNG payload to exercise
-    the undecodable-media fallback (NULL frames, hash stand-in feature)."""
+    carry REAL encoded bytes — alternating baseline PNG
+    (minipng.encode_png) and baseline-sequential 4:2:0 JPEG
+    (minijpg.encode_jpeg), the two formats web corpora are actually full
+    of; audio rows REAL 16-bit PCM WAVs (seeded sine mixture + noise
+    through miniwav.encode_wav), and video rows REAL MPNG frame containers
+    (seeded moving-gradient PNG frames through minivid.encode_mpng) —
+    every decode path runs on actual bytes.  One in five video rows
+    instead carries an opaque non-MPNG payload to exercise the
+    undecodable-media fallback (NULL frames, hash stand-in feature)."""
+    from ..functions.minijpg import encode_jpeg
     from ..functions.minipng import encode_png
     from ..functions.minivid import encode_mpng
     from ..functions.miniwav import encode_wav
@@ -361,7 +377,10 @@ def synthetic_media_df(spark, n: int = 64, partitions: int = 4) -> DataFrame:
                         [(grad + 31 * ch + i) % 256 for ch in range(3)], axis=2
                     ).astype(np.uint8)
                     px ^= rng.integers(0, 16, size=px.shape, dtype=np.uint8)
-                    payload = encode_png(px)
+                    if (i // 3) % 2:  # alternate image rows PNG / JPEG
+                        payload = encode_jpeg(px, quality=90, subsample=True)
+                    else:
+                        payload = encode_png(px)
                     duration_ms = None
                 elif kind == "audio":
                     rate = 8000
@@ -401,11 +420,14 @@ def synthetic_media_df(spark, n: int = 64, partitions: int = 4) -> DataFrame:
                     width, height = w, h  # true decoded dimensions
                 else:
                     width = height = None
+                mime = mimes[kind]
+                if kind == "image" and payload[:2] == b"\xff\xd8":
+                    mime = "image/jpeg"
                 rows.append(
                     {
                         "media_id": i,
                         "kind": kind,
-                        "mime": mimes[kind],
+                        "mime": mime,
                         "bytes": payload,
                         "width": width,
                         "height": height,

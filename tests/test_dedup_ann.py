@@ -357,23 +357,32 @@ def test_png_filter_decoding():
 def test_resize_images_real(spark):
     """resize_images actually decodes, resamples, and re-encodes: output
     PNGs parse to the requested dimensions with pixels drawn from the
-    source image."""
-    from entity_resolution_pipeline_spark.functions import minipng
+    source image.  The fixture alternates PNG and JPEG image rows, so both
+    stdlib decode paths run; sources are decoded here by signature."""
+    from entity_resolution_pipeline_spark.functions import minijpg, minipng
 
-    media = multimodal.synthetic_media_df(spark, 9)
+    media = multimodal.synthetic_media_df(spark, 15)
     out = {r["media_id"]: r for r in multimodal.resize_images(media, 4, 3).collect()}
     src = {r["media_id"]: r for r in media.collect() if r["kind"] == "image"}
     assert set(out) == set(src) and out
+    fmts = set()
     for mid, r in out.items():
         assert r["bytes"] is not None
         px = minipng.decode_png(bytes(r["bytes"]))
         assert px.shape == (3, 4, 3)
-        orig = minipng.decode_png(bytes(src[mid]["bytes"]))
-        # nearest-neighbor output pixels are a subset of source pixels
+        blob = bytes(src[mid]["bytes"])
+        if blob[:2] == b"\xff\xd8":
+            orig = minijpg.decode_jpeg(blob)
+            fmts.add("jpeg")
+        else:
+            orig = minipng.decode_png(blob)
+            fmts.add("png")
+        # nearest-neighbor output pixels are a subset of (decoded) source pixels
         assert all(
             tuple(p) in {tuple(q) for q in orig.reshape(-1, 3)}
             for p in px.reshape(-1, 3)
         )
+    assert fmts == {"png", "jpeg"}  # both codecs exercised
 
 
 def test_resize_images_undecodable_surfaced(spark):

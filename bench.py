@@ -654,6 +654,154 @@ def semdedup_scaling_run(repeats: int = SCALE_REPEATS) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+CURATION_REPLICAS = int(os.environ.get("SPARK_GRAFT_CURATION_REPLICAS", "8"))
+
+
+def curation_scaling_run(repeats: int = SCALE_REPEATS) -> dict:
+    """N vs 4N parallelism over the heaviest headline query: the COMPOSED
+    snapshot-curation chain (q_snapshot_curation's exact plan — prior-
+    snapshot cleaning + 12-substage new-snapshot chain + funnel) on the
+    sf documents replicated CURATION_REPLICAS× (replica i>0 gets doc_ids
+    offset by 10M·i and every token prefixed `r{i}~`, the webtext-scaling
+    trick: cross-replica text never collides in span/fuzzy dedup, and the
+    page-synthesis moduli in _curate_pages keep firing at the same rates).
+    The corpus is generated ONCE to tmpfs parquet and re-read by both
+    levels, so generation never pollutes the timing; one full-chain
+    warmup per level absorbs JIT/heap transients (see semdedup note).
+    Wall = the END-TO-END chain: build prior_clean, run the chain, collect
+    the 10-row funnel.  Per-substage split comes from the eager _pin
+    timings of the best repeat (localCheckpoint materializes each
+    substage, so each pin wall IS that substage's incremental cost);
+    'funnel' is the residual (non-pinned stages + the funnel unions).
+    Throughput = input tokens/sec; same best-of-k + median protocol as
+    scaling_run."""
+    import gc
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import _curate_cfg, _curate_pages
+    from entity_resolution_pipeline_spark.plans.curation import (
+        build_clean_snapshot,
+        curate_snapshot_frames,
+        snapshot_funnel,
+    )
+
+    cfg = _curate_cfg()
+    work = tempfile.mkdtemp(
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+        prefix="erx-curatescale-",
+    )
+    out: dict = {}
+    try:
+        gen_spark = make_spark(CPUS, "bench-curation-gen")
+        gen_spark.sparkContext.setLogLevel("ERROR")
+        base = gen_spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        toks = F.split(F.trim(F.coalesce("text", F.lit(""))), r"\s+")
+        reps = []
+        for i in range(CURATION_REPLICAS):
+            txt = (
+                F.col("text")
+                if i == 0
+                else F.concat_ws(
+                    " ",
+                    F.transform(toks, lambda t: F.concat(F.lit(f"r{i}~"), t)),
+                )
+            )
+            reps.append(
+                base.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                    txt.alias("text"),
+                )
+            )
+        docs = reps[0]
+        for r in reps[1:]:
+            docs = docs.unionAll(r)
+        src = os.path.join(work, "docs")
+        docs.repartition(max(CPUS, 8)).write.parquet(src)
+        n_docs, tokens_total = (
+            gen_spark.read.parquet(src)
+            .select(
+                F.count("*"),
+                F.sum(
+                    F.size(F.split(F.trim(F.coalesce("text", F.lit(""))), r"\s+"))
+                ),
+            )
+            .first()
+        )
+        gen_spark.stop()
+
+        n_small = max(CPUS // 4, 1)
+        funnel_checks: dict[str, list] = {}
+        for label, cpus in (("N", n_small), ("4N", CPUS)):
+            spark = make_spark(cpus, f"bench-curation-scaling-{label}")
+            spark.sparkContext.setLogLevel("ERROR")
+            pages = _curate_pages(spark.read.parquet(src))
+            new_pages = pages.where(F.col("k") % 7 != 0).drop("k")
+            prior_pages = pages.where(F.col("k") % 7 == 0).drop("k")
+
+            def run_chain(timings=None):
+                prior_clean = build_clean_snapshot(
+                    prior_pages, cfg, timings=timings
+                )["clean"].select("doc_id", "clean_text")
+                frames = curate_snapshot_frames(
+                    new_pages, prior_clean, cfg, timings=timings
+                )
+                return snapshot_funnel(frames).collect()
+
+            run_chain()  # full-chain warmup (JIT/heap, outside timings)
+            gc.collect()
+            walls, splits = [], []
+            for _ in range(repeats):
+                timings: dict[str, float] = {}
+                t0 = time.time()
+                rows = run_chain(timings)
+                wall = time.time() - t0
+                walls.append(wall)
+                timings["funnel"] = wall - sum(timings.values())
+                splits.append({k: round(v, 2) for k, v in timings.items()})
+                funnel_checks[label] = sorted(
+                    (r["stage"], r["n_docs"], r["n_tokens"]) for r in rows
+                )
+                spark.catalog.clearCache()
+                gc.collect()
+            spark.stop()
+            best = walls.index(min(walls))
+            out[label] = {
+                "cpus": cpus,
+                "docs": int(n_docs),
+                "tokens": int(tokens_total),
+                "walls_sec": [round(w, 2) for w in walls],
+                "best_tokens_per_sec": round(tokens_total / min(walls)),
+                "median_tokens_per_sec": round(
+                    tokens_total / sorted(walls)[len(walls) // 2]
+                ),
+                "substage_sec_best_run": splits[best],
+            }
+        # both levels must produce the identical funnel (parallelism-
+        # deterministic chain) — a scaling number over divergent outputs
+        # would be meaningless
+        assert funnel_checks["N"] == funnel_checks["4N"], "funnel diverged"
+        ratio = out["4N"]["cpus"] / out["N"]["cpus"]
+        out["replicas"] = CURATION_REPLICAS
+        out["scaling_efficiency"] = round(
+            out["4N"]["best_tokens_per_sec"]
+            / (ratio * out["N"]["best_tokens_per_sec"]),
+            4,
+        )
+        out["scaling_efficiency_median"] = round(
+            out["4N"]["median_tokens_per_sec"]
+            / (ratio * out["N"]["median_tokens_per_sec"]),
+            4,
+        )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 STREAM_REPLICAS = int(os.environ.get("SPARK_GRAFT_STREAM_REPLICAS", "100"))
 
 
@@ -778,6 +926,9 @@ def main() -> None:
         return
     if "--semdedup-scaling" in args:
         print(json.dumps({"semdedup_scaling": semdedup_scaling_run()}))
+        return
+    if "--curation-scaling" in args:
+        print(json.dumps({"curation_scaling": curation_scaling_run()}))
         return
     if "--recall" in args:
         print(json.dumps({"recall": recall_run()}))

@@ -290,7 +290,9 @@ def funnel_rows(stages: list[tuple[int, str, DataFrame, str, F.Column]]) -> Data
     return out
 
 
-def _pin(df: DataFrame) -> DataFrame:
+def _pin(
+    df: DataFrame, timings: dict | None = None, name: str | None = None
+) -> DataFrame:
     """Materialize a shared frame AND truncate its logical plan
     (localCheckpoint, not persist): the funnel unions one aggregate per
     stage, so without truncation each branch would re-carry the entire
@@ -298,12 +300,24 @@ def _pin(df: DataFrame) -> DataFrame:
     blows up Catalyst's plan-string/codegen long before any data moves.
     In the CLI path the stage TABLES play this role (read-back after
     write_stage_table); _pin is the in-memory equivalent for the
-    oracle/test path."""
-    return df.localCheckpoint(eager=True)
+    oracle/test path.  When `timings` is given, the eager materialization
+    wall (this substage's incremental cost since the previous pin) is
+    accumulated under `name` — the per-substage split bench.py
+    --curation-scaling reports."""
+    import time as _time
+
+    t0 = _time.time()
+    out = df.localCheckpoint(eager=True)
+    if timings is not None and name is not None:
+        timings[name] = timings.get(name, 0.0) + _time.time() - t0
+    return out
 
 
 def build_clean_snapshot(
-    pages: DataFrame, cfg: CurationConfig, persist: bool = True
+    pages: DataFrame,
+    cfg: CurationConfig,
+    persist: bool = True,
+    timings: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Substages extract -> latest -> quality -> spans as one in-memory
     lineage (the oracle/testing path; run_curation materializes the same
@@ -314,7 +328,7 @@ def build_clean_snapshot(
     frames["extracted"] = s_extract(pages)
     latest = s_latest(frames["extracted"])
     if persist:
-        latest = _pin(latest)
+        latest = _pin(latest, timings, "extract+latest")
     frames["latest"] = latest
     frames["blocklist"] = s_blocklist_only(
         latest.select("doc_id", "url", "text"), cfg
@@ -322,11 +336,11 @@ def build_clean_snapshot(
     frames["gopher"] = s_gopher_only(frames["blocklist"], cfg)
     quality = s_quality(latest.select("doc_id", "url", "text"), cfg)
     if persist:
-        quality = _pin(quality)
+        quality = _pin(quality, timings, "quality")
     frames["quality"] = quality
     clean = s_spans(quality, cfg)
     if persist:
-        clean = _pin(clean)
+        clean = _pin(clean, timings, "spans")
     frames["clean"] = clean
     return frames
 
@@ -336,25 +350,26 @@ def curate_snapshot_frames(
     prior_clean: DataFrame | None,
     cfg: CurationConfig,
     persist: bool = True,
+    timings: dict | None = None,
 ) -> dict[str, DataFrame]:
     """The full chain, in memory, returning every stage frame (shared by the
     contract query and tests; the CLI materializes between stages)."""
-    frames = build_clean_snapshot(pages, cfg, persist=persist)
+    frames = build_clean_snapshot(pages, cfg, persist=persist, timings=timings)
     exact = s_dedup_exact(frames["clean"], prior_clean, cfg)
     if persist and prior_clean is not None:
-        exact = _pin(exact)
+        exact = _pin(exact, timings, "exact_vs_prior")
     frames["exact"] = exact
     fuzzy = s_dedup_fuzzy(exact, prior_clean, cfg)
     if persist and prior_clean is not None:
-        fuzzy = _pin(fuzzy)
+        fuzzy = _pin(fuzzy, timings, "fuzzy_vs_prior")
     frames["fuzzy"] = fuzzy
     bucketed = s_buckets(fuzzy)
     if persist:
-        bucketed = _pin(bucketed)
+        bucketed = _pin(bucketed, timings, "buckets")
     frames["buckets"] = bucketed
     sampled = s_sample(bucketed, cfg)
     if persist:
-        sampled = _pin(sampled)
+        sampled = _pin(sampled, timings, "sampled")
     frames["sampled"] = sampled
     frames["chunks"] = s_pack(sampled, cfg)
     return frames

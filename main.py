@@ -222,6 +222,24 @@ def run(args: argparse.Namespace, stop_spark: bool = True) -> None:
             os.path.join(out, "pipeline_report.json"),
             os.path.join(out, "pipeline_report.md"),
         )
+        # analyst-facing figures (reference reporting.py:251-1810), rendered
+        # from bounded Spark aggregates by the stdlib SVG layer
+        from entity_resolution_pipeline_spark.plans import svgreport as V
+
+        importance = None
+        mfile = os.path.join(out, "model.pkl")
+        if os.path.exists(mfile):
+            with open(mfile, "rb") as f:
+                importance = C.feature_importance(pickle.load(f))
+        V.write_visual_report(
+            os.path.join(out, "report_html"),
+            clusters=clusters,
+            classification_metrics=cls,
+            feature_importance=importance,
+            score_dist=V.feature_class_histogram(
+                preds, "probability", "match", n_bins=40, lo=0.0, hi=1.0
+            ),
+        )
         M.record_stage(spark, out, "report", rows=0)
         print(json.dumps(report.get("clusters", {}), indent=1, default=float))
 

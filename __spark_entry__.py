@@ -1074,6 +1074,81 @@ def _quality_classifier_sql() -> str:
     """
 
 
+def q_quality_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ROC/PR table for the quality classifier against the
+    Gopher rule battery as ground truth: how well does the learned
+    quality_prob rank rule-passing documents?  The curve the reference
+    draws by collecting the whole test CSV (reporting.py:1313-1478) is
+    computed here as ONE bounded aggregation — probabilities quantized to
+    64 buckets, cumulative TP/FP via a window over the 64-row bin table,
+    totals broadcast — so the same plan serves 10^11 scored rows.  One
+    row per occupied bucket: (bin, threshold, tp, fp, tpr, fpr,
+    precision), feeding svgreport's ROC/PR figures."""
+    from entity_resolution_pipeline_spark.operators.classify import roc_points_df
+    from entity_resolution_pipeline_spark.operators.webtext import (
+        gopher_quality,
+        quality_classifier_scores,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    scores = quality_classifier_scores(docs).select("doc_id", "quality_prob")
+    labels = gopher_quality(docs).select("doc_id", "passes")
+    scored = scores.join(labels, "doc_id")
+    return roc_points_df(scored, label_col="passes", prob_col="quality_prob", n_bins=64)
+
+
+def _quality_roc_sql() -> str:
+    """Composes the regenerated quality-classifier scoring CTE with the
+    Gopher `passes` conjunction, then replays the binned cumulative ROC
+    arithmetic with window functions."""
+    return f"""
+        WITH scores AS ({_quality_classifier_sql()}),
+        s AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+        t AS (SELECT doc_id,
+                     CASE WHEN length(s) = 0 THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(s, '\\s+') END AS t
+              FROM s),
+        m AS (SELECT doc_id,
+                     CAST(len(t) AS BIGINT) AS n_words,
+                     CAST(coalesce(list_sum(list_transform(t, w -> length(w))), 0)
+                          AS BIGINT) AS sum_len,
+                     CAST(len(list_filter(t, w -> list_contains({_STOPWORDS_SQL}, w)))
+                          AS BIGINT) AS n_stop,
+                     CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+                          AS BIGINT) AS n_alpha
+              FROM t),
+        labels AS (SELECT doc_id,
+                          CAST(n_words BETWEEN 50 AND 100000
+                               AND sum_len / greatest(n_words, 1)
+                                   BETWEEN 3.0::DOUBLE AND 10.0::DOUBLE
+                               AND n_stop >= 2
+                               AND n_alpha / greatest(n_words, 1) >= 0.8::DOUBLE
+                               AS INT) AS passes
+                   FROM m),
+        j AS (SELECT least(63, CAST(floor(quality_prob * 64) AS INT)) AS bin,
+                     passes AS y
+              FROM scores JOIN labels USING (doc_id)),
+        per AS (SELECT bin, sum(y) AS pos, count(*) AS n FROM j GROUP BY 1),
+        cum AS (SELECT bin,
+                       sum(pos) OVER (ORDER BY bin DESC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS tp,
+                       sum(n - pos) OVER (ORDER BY bin DESC
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS fp
+                FROM per),
+        tot AS (SELECT sum(pos) AS P, sum(n - pos) AS N FROM per)
+        SELECT bin,
+               round(bin / 64.0, 6) AS threshold,
+               tp, fp,
+               round(tp / greatest(P, 1), 6) AS tpr,
+               round(fp / greatest(N, 1), 6) AS fpr,
+               round(tp / (tp + fp), 6) AS precision
+        FROM cum, tot
+        ORDER BY bin
+    """
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-gated snapshot-vs-corpus dedup: the 'existing corpus' is the
     deterministic doc_id % 7 == 0 slice, the 'new snapshot' is the rest.
@@ -1575,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "incremental_dedup": q_incremental_dedup,
         "quality_classifier": q_quality_classifier,
+        "quality_roc": q_quality_roc,
         "html_extract": q_html_extract,
         "incremental_fuzzy_dedup": q_incremental_fuzzy_dedup,
         "heavy_hitter_words": q_heavy_hitter_words,
@@ -2632,6 +2708,7 @@ def oracle_sql() -> dict[str, str]:
             FROM w JOIN p USING (w) GROUP BY 1
         """,
         "quality_classifier": _quality_classifier_sql(),
+        "quality_roc": _quality_roc_sql(),
         # same page template, same ordered strip steps, same entity chain —
         # byte-identical extracted_text is the assertion
         "html_extract": r"""

@@ -194,6 +194,52 @@ def tune_threshold(y_true: np.ndarray, probs: np.ndarray, cfg: ClassifierConfig)
     return best_t
 
 
+def roc_points_df(
+    scored: DataFrame,
+    label_col: str = "label",
+    prob_col: str = "probability",
+    n_bins: int = 256,
+) -> DataFrame:
+    """Distributed ROC/PR table (the reference draws these curves from the
+    fully-collected test CSV, reporting.py:1313-1478): probabilities are
+    quantized to n_bins equal [0,1] buckets and counted per bucket in ONE
+    map-side-combined aggregation — the only data that moves is <= n_bins
+    rows.  Cumulative TP/FP at each bucket threshold is a window over that
+    bounded bin table (single-partition sort of O(n_bins) rows, not of the
+    data), and P/N totals are a 1-row broadcast.  One row per OCCUPIED
+    bucket: (bin, threshold, tp, fp, tpr, fpr, precision), exact at bucket
+    granularity.  Feeds plans/svgreport.py's curve figures at any scale."""
+    from pyspark.sql import Window
+
+    b = F.least(F.lit(n_bins - 1), F.floor(F.col(prob_col) * n_bins).cast("int"))
+    per = scored.groupBy(b.alias("bin")).agg(
+        F.sum(F.col(label_col).cast("long")).alias("pos"),
+        F.count("*").alias("n"),
+    )
+    w = Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "bin",
+        F.sum("pos").over(w).alias("tp"),
+        F.sum(F.col("n") - F.col("pos")).over(w).alias("fp"),
+    )
+    totals = per.agg(
+        F.sum("pos").alias("P"), F.sum(F.col("n") - F.col("pos")).alias("N")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            F.round(F.col("bin") / n_bins, 6).alias("threshold"),
+            "tp",
+            "fp",
+            F.round(F.col("tp") / F.greatest("P", F.lit(1)), 6).alias("tpr"),
+            F.round(F.col("fp") / F.greatest("N", F.lit(1)), 6).alias("fpr"),
+            F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6).alias("precision"),
+        )
+        .orderBy("bin")
+    )
+
+
 def fit(features_df: DataFrame, feature_cols: list[str], cfg: ClassifierConfig) -> tuple[LRModel, dict]:
     """Collect labeled features (small), canonical sort, split, scale, train,
     evaluate.  The scaler is fit on the FULL labeled set pre-split, matching

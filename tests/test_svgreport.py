@@ -76,6 +76,36 @@ class TestAggregates:
         tprs = [p[1] for p in curves["roc"]]
         assert fprs == sorted(fprs) and tprs == sorted(tprs)
 
+    def test_roc_points_df_matches_driver_curve(self, spark, scored):
+        """The distributed ROC table (classify.roc_points_df) and the
+        driver-side reducer (svgreport.score_curve_points) must agree
+        bucket-for-bucket."""
+        from entity_resolution_pipeline_spark.operators.classify import roc_points_df
+
+        df, y, probs, _, _ = scored
+        rows = roc_points_df(df, "label", "probability", n_bins=128).collect()
+        curves = R.score_curve_points(df, "label", "probability", n_bins=128)
+        P, N = curves["n_pos"], curves["n_neg"]
+        # rebuild the cumulative table the same way and compare
+        import collections
+
+        pos = collections.Counter()
+        neg = collections.Counter()
+        for yy, pp in zip(y, probs):
+            b = min(int(pp * 128), 127)
+            (pos if yy else neg)[b] += 1
+        tp = fp = 0
+        expect = {}
+        for b in range(127, -1, -1):
+            tp += pos[b]
+            fp += neg[b]
+            if pos[b] or neg[b]:
+                expect[b] = (tp, fp)
+        assert {r["bin"]: (r["tp"], r["fp"]) for r in rows} == expect
+        for r in rows:
+            assert r["tpr"] == pytest.approx(expect[r["bin"]][0] / P, abs=1e-6)
+            assert r["fpr"] == pytest.approx(expect[r["bin"]][1] / N, abs=1e-6)
+
     def test_feature_separation(self, spark, scored):
         df, y, _, f1, f2 = scored
         sep = dict(R.feature_separation(df, ["f1", "f2"], "label"))

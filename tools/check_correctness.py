@@ -52,7 +52,14 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
     qs, oracles = E.queries(), E.oracle_sql()
-    only = sys.argv[1:]
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    only = argv
+    results: dict[str, dict] = {}
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -62,10 +69,12 @@ def main() -> None:
             sdf = fn(spark, SF_DIR).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error {e!r}"[:300])
+            results[name] = {"status": "FAIL", "err": repr(e)[:200]}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"rows-only {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            results[name] = {"status": "rows-only", "rows_spark": len(sdf)}
             n_rowsonly += 1
             spark.catalog.clearCache()
             continue
@@ -73,6 +82,7 @@ def main() -> None:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e!r}"[:300])
+            results[name] = {"status": "FAIL", "err": repr(e)[:200]}
             n_fail += 1
             continue
         s, o = canon(sdf), canon(odf)
@@ -96,6 +106,14 @@ def main() -> None:
             except Exception as e:
                 print(f"  compare error {e!r}")
         status = "PASS" if (ok_rows and ok_schema and ok_vals) else "FAIL"
+        results[name] = {
+            "status": status,
+            "rows_spark": len(s),
+            "rows_oracle": len(o),
+            "schema_ok": bool(ok_schema),
+            "vals_ok": bool(ok_vals),
+            "sec": round(time.time() - t0, 2),
+        }
         if status == "PASS":
             n_pass += 1
         else:
@@ -108,6 +126,19 @@ def main() -> None:
             print(f"  spark cols: {list(s.columns)}\n  oracle cols: {list(o.columns)}")
         spark.catalog.clearCache()
     print(f"\nsummary: {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "summary": {"pass": n_pass, "fail": n_fail, "rows_only": n_rowsonly},
+                    "queries": results,
+                },
+                f,
+                indent=1,
+            )
     spark.stop()
     sys.exit(1 if n_fail else 0)
 

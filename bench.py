@@ -76,6 +76,9 @@ HEADLINE = [
     # r3 (26 → 27): SemDeDup — sign-projection shards, within-shard cosine
     # groups via CC, keep-least-central representative
     "semantic_dedup",
+    # r4 (27 → 28): distributed ROC/PR table (quality classifier scored
+    # against Gopher labels, binned cumulative curve — O(bins) sort)
+    "quality_roc",
 ]
 
 
@@ -517,6 +520,7 @@ SEMDEDUP_SCALE_N = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_N", "100000"))
 SEMDEDUP_CLUSTERS = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_K", "1000"))
 SEMDEDUP_PLANES = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_PLANES", "8"))
 SEMDEDUP_DIM = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_DIM", "64"))
+SEMDEDUP_PRECISION = os.environ.get("SPARK_GRAFT_SEMDEDUP_PRECISION", "float64")
 
 
 def semdedup_scaling_run(repeats: int = SCALE_REPEATS) -> dict:
@@ -609,14 +613,15 @@ def semdedup_scaling_run(repeats: int = SCALE_REPEATS) -> dict:
             # long-lived cluster pays once, inverting the scaling verdict.
             for _ in range(2):
                 semantic_dedup(
-                    corpus, threshold=0.9, n_planes=SEMDEDUP_PLANES, dim=dim
+                    corpus, threshold=0.9, n_planes=SEMDEDUP_PLANES, dim=dim,
+                    precision=SEMDEDUP_PRECISION,
                 ).agg(F.sum("kept")).first()
                 spark.catalog.clearCache()
             walls = []
             for _ in range(repeats):
                 t0 = time.time()
                 row = (
-                    semantic_dedup(corpus, threshold=0.9, n_planes=SEMDEDUP_PLANES, dim=dim)
+                    semantic_dedup(corpus, threshold=0.9, n_planes=SEMDEDUP_PLANES, dim=dim, precision=SEMDEDUP_PRECISION)
                     .agg(F.count("*").alias("n"), F.sum("kept").alias("k"))
                     .first()
                 )

@@ -590,6 +590,59 @@ class TestSemanticDedup:
         b = sorted(map(tuple, dedup.semantic_dedup(emb, threshold=0.95, assignment="arrow").collect()))
         assert a == b
 
+    def test_float32_precision_parity(self, emb):
+        """precision='float32' halves shuffle bytes (vec is array<float>
+        after assignment) but must keep the same groups on any corpus whose
+        cosine margins exceed float32 rounding — here the fixture's margins
+        are ~1e-2.  Buckets are computed on float64 BEFORE the cast, so the
+        sharding column is bit-identical; root/kept must agree; cent_cos is
+        float64 in both and may differ only in the 6th decimal."""
+        a = {r["vec_id"]: r for r in dedup.semantic_dedup(emb, threshold=0.95).collect()}
+        for assignment in ("expr", "arrow"):
+            b = {
+                r["vec_id"]: r
+                for r in dedup.semantic_dedup(
+                    emb, threshold=0.95, assignment=assignment, precision="float32"
+                ).collect()
+            }
+            assert set(a) == set(b)
+            for i in a:
+                assert a[i]["bucket"] == b[i]["bucket"]
+                assert a[i]["root"] == b[i]["root"]
+                assert a[i]["kept"] == b[i]["kept"]
+                assert abs(a[i]["cent_cos"] - b[i]["cent_cos"]) <= 1e-5
+
+    def test_float32_shuffle_schema(self, emb):
+        """The casted vector column actually reaches the shuffle as
+        array<float> — the moved-bytes claim, pinned structurally: the
+        analyzed plan's pre-kernel projection carries float elements under
+        float32 in both assignment modes, double under the default."""
+        # toString() hides attribute types on MapInArrow nodes; prettyJson()
+        # carries every attribute's dataType in both modes
+        for assignment in ("expr", "arrow"):
+            plan32 = (
+                dedup.semantic_dedup(
+                    emb, threshold=0.95, assignment=assignment, precision="float32"
+                )
+                ._jdf.queryExecution()
+                .analyzed()
+                .prettyJson()
+            )
+            assert '"elementType" : "float"' in plan32
+            plan64 = (
+                dedup.semantic_dedup(emb, threshold=0.95, assignment=assignment)
+                ._jdf.queryExecution()
+                .analyzed()
+                .prettyJson()
+            )
+            assert '"elementType" : "float"' not in plan64
+
+    def test_precision_validation(self, emb):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            dedup.semantic_dedup(emb, threshold=0.95, precision="float16").collect()
+
     def test_auto_planes_derivation(self):
         """auto sizing: n_planes = max(4, ceil(log2(n / target_bucket)))."""
         import math

@@ -33,7 +33,7 @@ SHOW = [
     ("incremental_dedup", "r2: bloom-gated snapshot dedup — corpus read map-side into <=16 filter shards (no corpus shuffle), bloom-negative branch joins NOTHING, only the positive sliver reaches the exact verify join"),
     ("html_extract", "r2: WET-style HTML→text — the whole strip/unescape/normalize chain is ONE shuffle-free Project over the scan"),
     ("incremental_fuzzy_dedup", "r2: cross-snapshot near-dup flagging — snapshot bands equi-join corpus bands (new×new structurally impossible), estimate prefilter + exact verify, one flag join back"),
-    ("semantic_dedup", "r3/r4: SemDeDup — ±1 sign-projection shards as one shuffle-free Project (index-select folds, no UDF), then ONE groupBy(bucket)-applyInPandas Arrow stage computing the entire per-cluster semantics in numpy (centroid, blocked cosine matmul with a reused buffer, min-label-prop CC, keep-least-central); single Exchange total, no persist, no join-backs; bucket size bounded only by n_planes sizing (auto-derived from a corpus count by default)"),
+    ("semantic_dedup", "r3/r4: SemDeDup — ±1 sign-projection shards as one shuffle-free Project (index-select folds, no UDF), then ONE groupBy(bucket)-applyInArrow stage (zero-copy flatten + gather, no per-row Series) computing the entire per-cluster semantics in numpy (centroid, blocked cosine matmul with a reused buffer, min-label-prop CC, keep-least-central); single Exchange total, no persist, no join-backs; bucket size bounded only by n_planes sizing (auto-derived from a corpus count by default)"),
     ("cluster_modularity", "r3: Newman Q decomposition — edge list shuffles on community id only; m is a 1-row broadcast; no windows, no driver graph"),
     ("quality_roc", "r4: distributed ROC/PR — ONE map-side-combined agg quantizes probabilities to 64 buckets; the window cumsum runs over the 64-row bin table (single-partition sort of O(bins), never of the data); P/N totals are a 1-row broadcast cross join"),
     ("snapshot_curation", "r4: the composed 12-substage snapshot-curation chain as ONE lazy plan (WET extract → latest-capture → blocklist → Gopher → badwords → PII → span excision → exact+fuzzy dedup vs prior snapshot → CCNet buckets → mixture sample → packing → funnel); every substage's shuffles are the individually-audited shapes above — composition adds the cross-snapshot band join and the funnel's tiny 1-row aggs, nothing else"),

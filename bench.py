@@ -101,6 +101,9 @@ def make_spark(cpus: int, app: str):
         # are tens of MB at bench scale — let AQE turn their joins into
         # broadcast hash joins instead of shuffling the 100×-larger pair table
         .config("spark.sql.autoBroadcastJoinThreshold", "128m")
+        # a crashed Arrow worker otherwise reports only "exited
+        # unexpectedly"; the faulthandler dump costs nothing when healthy
+        .config("spark.python.worker.faulthandler.enabled", "true")
     )
     evdir = os.environ.get("SPARK_GRAFT_EVLOG")
     if evdir:

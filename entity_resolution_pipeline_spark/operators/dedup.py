@@ -754,6 +754,7 @@ def semantic_dedup(
     target_bucket: int = 4096,
     assignment: str = "auto",
     precision: str = "float64",
+    kernel: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) semantic deduplication, LSH-sharded.
 
@@ -828,6 +829,12 @@ def semantic_dedup(
     rounding.  Measured on the 500k × dim-512 scaling corpus: identical
     xxhash64 fingerprints over (id, bucket, root, kept) vs float64
     (kept = 40,186 under both precisions and both group kernels).
+
+    ``kernel`` selects the group-stage implementation: ``auto`` (default)
+    uses ``applyInArrow`` when the Spark version has it, ``arrow`` /
+    ``pandas`` force one path — both wrap the same numpy core, so outputs
+    are bit-identical; the knob exists for pre-4.0 compatibility testing
+    and controlled same-session A/B benchmarking.
     """
     import math
 
@@ -835,6 +842,8 @@ def semantic_dedup(
 
     if precision not in ("float64", "float32"):
         raise ValueError(f"precision must be float64|float32, got {precision!r}")
+    if kernel not in ("auto", "arrow", "pandas"):
+        raise ValueError(f"kernel must be auto|arrow|pandas, got {kernel!r}")
     np_dtype = np.float32 if precision == "float32" else np.float64
     vec_sql = "array<float>" if precision == "float32" else "array<double>"
     # float32 min normal ~1.2e-38: the float64 guard 1e-300 underflows to 0
@@ -1065,9 +1074,10 @@ def semantic_dedup(
 
     grouped = v.groupBy("bucket")
     kernel_schema = "id long, bucket string, root string, cent_cos double, kept int"
-    if hasattr(grouped, "applyInArrow"):
+    use_arrow = kernel == "arrow" or (kernel == "auto" and hasattr(grouped, "applyInArrow"))
+    if use_arrow:
         out = grouped.applyInArrow(_bucket_semdedup_arrow, schema=kernel_schema)
-    else:  # pandas fallback for pre-4.0 Spark, bit-identical output
+    else:  # pandas path: pre-4.0 Spark fallback / A-B benchmarking, bit-identical output
         out = grouped.applyInPandas(_bucket_semdedup, schema=kernel_schema)
     return out.select(
         F.col("id").alias(id_col), "bucket", "root", "cent_cos", "kept"

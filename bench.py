@@ -662,6 +662,134 @@ def semdedup_scaling_run(repeats: int = SCALE_REPEATS) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+_ENV_STATE: dict = {}
+
+
+def _envelope_init(n_bucket: int, dim: int, precision: str, blk: int) -> None:
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(os.getpid()))
+    dtype = np.float32 if precision == "float32" else np.float64
+    V = rng.standard_normal((n_bucket, dim)).astype(dtype)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    _ENV_STATE["Vn"] = Vn
+    _ENV_STATE["S"] = np.empty((min(blk, n_bucket), n_bucket), dtype=dtype)
+    _ENV_STATE["blk"] = blk
+
+
+def _envelope_bucket(_: int) -> float:
+    """One SemDeDup bucket's hot loop: blocked Vn @ Vn.T + candidate scan
+    (exactly dedup._core's dominant work, no Spark/Arrow/union-find)."""
+    import numpy as np
+
+    Vn, S_buf, blk = _ENV_STATE["Vn"], _ENV_STATE["S"], _ENV_STATE["blk"]
+    n = len(Vn)
+    hits = 0
+    for a in range(0, n, blk):
+        b = min(a + blk, n)
+        S = S_buf[: b - a]
+        np.matmul(Vn[a:b], Vn.T, out=S)
+        hits += int(np.count_nonzero(S >= 0.9 - 1e-6))
+    return float(hits)
+
+
+def _envelope_bw(_: int) -> float:
+    import numpy as np
+
+    a = np.ones(50_000_000)  # 400 MB
+    t0 = time.time()
+    s = 0.0
+    for _ in range(3):
+        s += float(a.sum())
+    return 3 * a.nbytes / (time.time() - t0)
+
+
+def _envelope_l1(_: int) -> float:
+    import numpy as np
+
+    A = np.random.Generator(np.random.PCG64(7)).standard_normal((64, 64))
+    t0 = time.time()
+    for _ in range(2000):
+        A @ A
+    return 2000 * 2 * 64**3 / (time.time() - t0)
+
+
+def semdedup_envelope_run(repeats: int = SCALE_REPEATS) -> dict:
+    """Hardware envelope for the SemDeDup N-vs-4N comparison: the SAME
+    per-bucket blocked-dgemm hot loop (dedup._core's matmul + candidate
+    scan, identical block size, dtype and bucket shape as the
+    --semdedup-scaling config) run as RAW MULTIPROCESSING — no Spark, no
+    shuffle, no Arrow, no Python-worker handoff — at N and 4N
+    single-threaded workers over a fixed pool of buckets, plus a DRAM
+    read-bandwidth sweep and an L1-resident 64×64 gemm control at the
+    same two worker counts.  Purpose: bound what ANY framework can show
+    on this box.  The dgemm envelope efficiency is the ceiling for the
+    group stage (it shares one memory bus across all workers); the L1
+    control shows how much of the shortfall is bandwidth vs core
+    scaling; `vs_envelope` in the combined record = measured Spark
+    efficiency ÷ dgemm envelope efficiency (≥1 ⇒ the operator is at the
+    machine's limit, not Spark's).  Same best-of-k + median protocol."""
+    from multiprocessing import Pool
+
+    n_bucket = max(SEMDEDUP_SCALE_N // (1 << SEMDEDUP_PLANES), 16)
+    # fixed total work, bounded so the N leg stays ~tens of seconds
+    n_buckets = min(1 << SEMDEDUP_PLANES, 8 * CPUS)
+    blk = 1024
+    flop_per_bucket = 2.0 * n_bucket * n_bucket * SEMDEDUP_DIM
+    out: dict = {
+        "bucket_rows": n_bucket,
+        "buckets": n_buckets,
+        "dim": SEMDEDUP_DIM,
+        "precision": SEMDEDUP_PRECISION,
+    }
+    n_small = max(CPUS // 4, 1)
+    levels = (("N", n_small), ("4N", CPUS))
+    recs = {label: {"workers": nproc, "dgemm_walls_sec": [], "dram": [], "l1": []}
+            for label, nproc in levels}
+    # INTERLEAVED repeats: the host's attainable bandwidth/turbo varies on
+    # minute timescales (hypervisor neighbors), so N-then-4N blocks would
+    # charge one level with whatever the host was doing during its block;
+    # alternating levels per repeat samples both under comparable
+    # conditions, and best-of-k then discards the throttled samples.
+    for _ in range(repeats):
+        for label, nproc in levels:
+            rec = recs[label]
+            with Pool(
+                nproc,
+                initializer=_envelope_init,
+                initargs=(n_bucket, SEMDEDUP_DIM, SEMDEDUP_PRECISION, blk),
+            ) as p:
+                p.map(_envelope_bucket, range(nproc))  # warmup: page-in + BLAS init
+                t0 = time.time()
+                p.map(_envelope_bucket, range(n_buckets))
+                rec["dgemm_walls_sec"].append(round(time.time() - t0, 2))
+            with Pool(nproc) as p:
+                rec["dram"].append(round(sum(p.map(_envelope_bw, range(nproc))) / 1e9, 1))
+            with Pool(nproc) as p:
+                rec["l1"].append(round(sum(p.map(_envelope_l1, range(nproc))) / 1e9, 1))
+    for label, nproc in levels:
+        rec = recs[label]
+        walls = rec["dgemm_walls_sec"]
+        rec["dgemm_gflops_best"] = round(
+            n_buckets * flop_per_bucket / min(walls) / 1e9, 1
+        )
+        rec["dgemm_gflops_median"] = round(
+            n_buckets * flop_per_bucket / sorted(walls)[len(walls) // 2] / 1e9, 1
+        )
+        rec["dram_read_gb_s"] = max(rec.pop("dram"))
+        rec["l1_gemm_gflops"] = max(rec.pop("l1"))
+        out[label] = rec
+    ratio = out["4N"]["workers"] / out["N"]["workers"]
+    for key, metric in (
+        ("envelope_efficiency_dgemm", "dgemm_gflops_best"),
+        ("envelope_efficiency_dgemm_median", "dgemm_gflops_median"),
+        ("envelope_efficiency_dram", "dram_read_gb_s"),
+        ("envelope_efficiency_l1", "l1_gemm_gflops"),
+    ):
+        out[key] = round(out["4N"][metric] / (ratio * out["N"][metric]), 4)
+    return out
+
+
 CURATION_REPLICAS = int(os.environ.get("SPARK_GRAFT_CURATION_REPLICAS", "8"))
 
 
@@ -934,6 +1062,9 @@ def main() -> None:
         return
     if "--semdedup-scaling" in args:
         print(json.dumps({"semdedup_scaling": semdedup_scaling_run()}))
+        return
+    if "--semdedup-envelope" in args:
+        print(json.dumps({"semdedup_envelope": semdedup_envelope_run()}))
         return
     if "--curation-scaling" in args:
         print(json.dumps({"curation_scaling": curation_scaling_run()}))

@@ -216,6 +216,14 @@ class ClusteringConfig:
     min_edge_weight: float = 0.5
     min_cluster_size: int = 1
     max_iterations: int = 50                   # safety bound for CC iterations
+    # Once the (shrinking) edge set fits one task's memory budget, finish CC
+    # with a single-task vectorized min-label kernel instead of paying full
+    # shuffle-round latency for the tail O(log n) star rounds.  Edge counts
+    # come free from the per-round convergence checksum, so the cutover adds
+    # zero actions.  0 disables (pure star iteration).  4M string-pair edges
+    # ≈ a few hundred MB in one Arrow group — the same per-task budget the
+    # semantic-dedup bucket kernel is sized for.
+    local_finish_max_edges: int = 4_000_000
     # "connected_components" (reference default and only exercised path) or
     # "label_propagation" (the reference's configured-but-never-shipped
     # community fallback, classification.py:880-924; r2 implements it so the

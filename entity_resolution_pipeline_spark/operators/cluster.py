@@ -69,6 +69,54 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _local_finish(edges: DataFrame) -> DataFrame:
+    """Single-task CC finisher: the whole (budget-bounded) edge set in one
+    Arrow group, labels = per-component lexicographic-min id.
+
+    Kernel is vectorized Shiloach-Vishkin-style min-label propagation with
+    pointer doubling (`lbl = lbl[lbl]`): O(log n) numpy passes, no per-edge
+    Python.  np.unique's sort makes integer-code order == lexicographic id
+    order, so the integer min IS the string min — identical roots to the
+    converged star iteration at any parallelism.
+    """
+    import pandas as pd  # noqa: F401  (worker-side)
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) == 0:
+            return pd.DataFrame({"entity_id": [], "root": []}, dtype=object)
+        ids, codes = np.unique(
+            np.concatenate(
+                [pdf["src"].to_numpy(dtype=object), pdf["dst"].to_numpy(dtype=object)]
+            ),
+            return_inverse=True,
+        )
+        a, b = codes[: len(pdf)], codes[len(pdf):]
+        lbl = np.arange(ids.shape[0], dtype=np.int64)
+        while True:
+            new = lbl.copy()
+            np.minimum.at(new, a, lbl[b])
+            np.minimum.at(new, b, lbl[a])
+            while True:
+                hop = new[new]
+                if np.array_equal(hop, new):
+                    break
+                new = hop
+            if np.array_equal(new, lbl):
+                break
+            lbl = new
+        return pd.DataFrame({"entity_id": ids, "root": ids[lbl]})
+
+    return (
+        edges.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            lambda _k, pdf: kernel(pdf), schema="entity_id string, root string"
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame, cfg: ClusteringConfig = ClusteringConfig()
 ) -> DataFrame:
@@ -77,9 +125,23 @@ def connected_components(
     Alternates large-star/small-star until the canonical edge set is stable;
     on convergence every edge points node → component-min, which IS the
     assignment table.
+
+    Size-gated finisher: both star transforms preserve the non-isolated node
+    set (a local-min node re-emerges as its neighbors' min; every other node
+    re-emerges as src), so at ANY round the surviving edge set spans all
+    original nodes and a single-task union-find over it yields the exact
+    final assignment.  The per-round convergence checksum already counts
+    edges, so when that count ≤ cfg.local_finish_max_edges we hand off to
+    `_local_finish` at zero extra actions — replacing the tail O(log n)
+    star rounds (each 2 shuffles of a vanishing edge set) with one kernel.
+    At 10^12-edge scale the star rounds still do the heavy contraction; the
+    finisher only fires once the remainder fits one task's budget.
     """
     current = _canon(edges).localCheckpoint(eager=True)
     prev_sig = _checksum(current)
+    budget = cfg.local_finish_max_edges
+    if budget and 0 < prev_sig[0] <= budget:
+        return _local_finish(current)
     for _ in range(cfg.max_iterations):
         # no _canon between the stars: small_star's groupBy(min) is
         # duplicate-insensitive, so the mid-round dedup exchange only traded
@@ -92,6 +154,8 @@ def connected_components(
         sig = _checksum(current)
         if sig == prev_sig:
             break
+        if budget and 0 < sig[0] <= budget:
+            return _local_finish(current)
         prev_sig = sig
     # Converged edge set is a star per component; in canonical (src < dst)
     # form the root is always `src`.  Read the assignment orientation-robustly

@@ -51,6 +51,64 @@ def test_self_loop_only_drops_out(spark):
     assert comps == {"b": {"b", "c"}}
 
 
+def test_local_finish_parity_with_star_iteration(spark):
+    """The size-gated single-task finisher must produce byte-identical
+    assignments to the pure large-star/small-star iteration (budget=0):
+    same node universe, same lexicographic-min roots."""
+    import random
+
+    from entity_resolution_pipeline_spark.config import ClusteringConfig
+
+    rng = random.Random(11)
+    edges = [
+        (f"n{rng.randrange(400):03d}", f"n{rng.randrange(400):03d}")
+        for _ in range(350)
+    ]
+    edges += [(f"c{i:03d}", f"c{i+1:03d}") for i in range(120)]  # chain worst case
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    fast = sorted(
+        (r["entity_id"], r["root"]) for r in connected_components(df).collect()
+    )
+    star = sorted(
+        (r["entity_id"], r["root"])
+        for r in connected_components(
+            df, ClusteringConfig(local_finish_max_edges=0)
+        ).collect()
+    )
+    assert fast == star
+    assert len(fast) > 0
+
+
+def test_local_finish_mid_iteration_cutover(spark):
+    """A budget below the initial edge count forces star rounds first, then
+    the finisher takes over once the set shrinks — result still exact."""
+    from entity_resolution_pipeline_spark.config import ClusteringConfig
+
+    import random
+
+    rng = random.Random(3)
+    # dense random graph on 50 nodes: ~380 canonical edges collapse to ~49
+    # star edges after one round, crossing the 100-edge budget mid-iteration
+    edges = [
+        (f"m{rng.randrange(50):02d}", f"m{rng.randrange(50):02d}")
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["entity_id"]: r["root"]
+        for r in connected_components(
+            df, ClusteringConfig(local_finish_max_edges=100)
+        ).collect()
+    }
+    exact = {
+        r["entity_id"]: r["root"]
+        for r in connected_components(
+            df, ClusteringConfig(local_finish_max_edges=0)
+        ).collect()
+    }
+    assert got == exact and len(got) > 0
+
+
 def test_cluster_predictions_singletons_and_threshold(spark):
     preds = spark.createDataFrame(
         [

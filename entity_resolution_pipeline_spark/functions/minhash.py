@@ -56,6 +56,21 @@ def _pows(k: int) -> np.ndarray:
 _POW_CACHE: dict[int, np.ndarray] = {}
 
 
+def _mod_mersenne(v: np.ndarray) -> np.ndarray:
+    """Exact v mod (2³¹−1) for uint64 v < 2⁶³ without integer division.
+
+    2³¹ ≡ 1 (mod p) ⇒ v ≡ (v & p) + (v ≫ 31); two folds bring v < 2⁶³ down
+    to [0, p+4], one conditional subtract lands [0, p−1].  numpy uint64 `%`
+    compiles to a hardware divide (no SIMD, ~20-40 cycles/lane); the
+    shift-add fold is pure vector ops — measured ~6× on the signature
+    kernel.  Bit-identical to `%` (pinned by test_properties parity)."""
+    m = np.uint64(_MERSENNE_P)
+    s = np.uint64(31)
+    v = (v & m) + (v >> s)
+    v = (v & m) + (v >> s)
+    return np.where(v >= m, v - m, v)
+
+
 def shingle_set(text: str, k: int = 3) -> np.ndarray:
     """Distinct hash values of the k-byte shingles of the lowercased padded
     string — fully vectorized: one sliding_window_view + one uint64 matvec
@@ -78,14 +93,14 @@ def shingle_set(text: str, k: int = 3) -> np.ndarray:
     if len(data) < k:
         return np.empty(0, dtype=np.uint64)
     w = np.lib.stride_tricks.sliding_window_view(data, k)
-    hv = (w.astype(np.uint64) * pw[None, :]).sum(axis=1) % np.uint64(_MERSENNE_P)
+    hv = _mod_mersenne((w.astype(np.uint64) * pw[None, :]).sum(axis=1))
     return np.unique(hv)
 
 
 def _sig_from_shingles(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """(a·x + b) mod p, min over shingles — exact in uint64 (see module doc)."""
-    xr = (x % np.uint64(_MERSENNE_P)).astype(np.uint64)
-    hv = (a[:, None] * xr[None, :] + b[:, None]) % np.uint64(_MERSENNE_P)
+    xr = _mod_mersenne(x.astype(np.uint64))
+    hv = _mod_mersenne(a[:, None] * xr[None, :] + b[:, None])
     return hv.min(axis=1).astype(np.int64)
 
 
@@ -126,25 +141,100 @@ def jaccard(text1: str, text2: str, k: int = 3) -> float:
     return len(s1 & s2) / len(s1 | s2)
 
 
+# uint64 budget for one (num_hashes × Σshingles) hash block: 2²⁰ cells
+# = 8 MB — sized to stay cache-resident, NOT for peak memory.  Measured
+# sweep (2000×3000-char docs, 6M shingles): 2²⁵ cells = 26 s (the ~8
+# temporaries of the hash expression each sweep 268 MB of DRAM), 2²⁰ = 3.1 s;
+# per-doc formulation = 3.5 s.  Blocking also amortizes numpy dispatch for
+# short-doc corpora (~8% there).
+_SIG_BLOCK_CELLS = 1 << 20
+
+
 def make_minhash_udf(num_hashes: int = 64, k: int = 3):
     """Arrow pandas UDF: string column → array<long> signature column.
     Coefficients are computed once per executor (closure), re-used across
-    batches."""
+    batches.
+
+    Batched kernel: shingle sets for a block of docs are concatenated into
+    ONE flat array, hashed as a single (num_hashes × Σ|S|) vectorized
+    expression, and reduced per-doc with `np.minimum.reduceat` — the per-doc
+    64×|S| matrix formulation paid numpy dispatch + allocation once per
+    document; blocking pays it once per block.  Block size is capped
+    cache-resident (see _SIG_BLOCK_CELLS) whatever Arrow's batch size.
+    Values are bit-identical to the per-doc path (same arithmetic)."""
     a, b = _coeffs(num_hashes)
 
     @pandas_udf(ArrayType(LongType()))
     def minhash_udf(texts: pd.Series) -> pd.Series:
-        empty = np.full(num_hashes, -1, dtype=np.int64).tolist()
-        out = []
-        for t in texts:
-            if not t:
-                out.append(empty)
-                continue
-            sh = shingle_set(t, k)
-            out.append(_sig_from_shingles(sh, a, b).tolist() if len(sh) else empty)
-        return pd.Series(out)
+        sets = [
+            shingle_set(t, k) if t else np.empty(0, dtype=np.uint64)
+            for t in texts
+        ]
+        return pd.Series(_sigs_batched(sets, a, b, num_hashes))
 
     return minhash_udf
+
+
+def _sigs_batched(
+    sets: list[np.ndarray], a: np.ndarray, b: np.ndarray, num_hashes: int
+) -> list[list[int]]:
+    """Batched signature kernel over precomputed shingle sets (see
+    make_minhash_udf docstring); empty sets get the -1 sentinel row."""
+    empty = np.full(num_hashes, -1, dtype=np.int64).tolist()
+    out: list[list[int]] = [empty] * len(sets)
+    max_shingles = max(_SIG_BLOCK_CELLS // max(num_hashes, 1), 1)
+    i = 0
+    while i < len(sets):
+        j, total, idx = i, 0, []
+        while j < len(sets) and (total == 0 or total + len(sets[j]) <= max_shingles):
+            if len(sets[j]):
+                idx.append(j)
+                total += len(sets[j])
+            j += 1
+        if idx:
+            flat = _mod_mersenne(np.concatenate([sets[p] for p in idx]))
+            hv = _mod_mersenne(a[:, None] * flat[None, :] + b[:, None])
+            offs = np.zeros(len(idx), dtype=np.intp)
+            np.cumsum([len(sets[p]) for p in idx[:-1]], out=offs[1:])
+            mins = np.minimum.reduceat(hv, offs, axis=1).astype(np.int64)
+            for col, p in enumerate(idx):
+                out[p] = mins[:, col].tolist()
+        i = j
+    return out
+
+
+def make_sig_shingle_udf(num_hashes: int = 64, k: int = 3):
+    """Arrow pandas UDF: string column → struct(sig array<long>, sh
+    array<long>) — MinHash signature AND the sorted distinct shingle-hash
+    set from ONE pass over the text.  The LSH operators need both (bands
+    from sig, exact verify from sh); computing them in separate UDFs
+    shingled every document twice and scanned the text column twice.
+    Column values are bit-identical to make_minhash_udf / make_shingle_udf
+    (same shingle_set, same batch kernel)."""
+    from pyspark.sql.types import StructField, StructType
+
+    a, b = _coeffs(num_hashes)
+    ret = StructType(
+        [
+            StructField("sig", ArrayType(LongType())),
+            StructField("sh", ArrayType(LongType())),
+        ]
+    )
+
+    @pandas_udf(ret)
+    def sig_shingle_udf(texts: pd.Series) -> pd.DataFrame:
+        sets = [
+            shingle_set(t, k) if t else np.empty(0, dtype=np.uint64)
+            for t in texts
+        ]
+        return pd.DataFrame(
+            {
+                "sig": _sigs_batched(sets, a, b, num_hashes),
+                "sh": [s.astype(np.int64).tolist() for s in sets],
+            }
+        )
+
+    return sig_shingle_udf
 
 
 def make_shingle_udf(k: int = 3):

@@ -188,36 +188,32 @@ def minhash_lsh_pairs(
        |A∩B| / (|A|+|B|−|A∩B|) — one JVM array_intersect, no second pass
        over the text.
 
-    Cache ownership: the signature table is persisted for the duration of
-    THIS plan (it feeds both the banding explode and the estimate
-    prefilter).  Long-lived sessions that invoke dedup operators in a loop
-    should `spark.catalog.clearCache()` between invocations (bench.py
-    does) — Spark's CacheManager holds cached plans until explicitly
-    dropped.
+    Cache ownership: the per-doc feature table (signature + shingle set,
+    ONE text pass — make_sig_shingle_udf) is persisted for the duration of
+    THIS plan; it feeds the banding explode, the estimate prefilter, AND
+    the exact-verify arrays, so no document is scanned or shingled twice.
+    Long-lived sessions that invoke dedup operators in a loop should
+    `spark.catalog.clearCache()` between invocations (bench.py does) —
+    Spark's CacheManager holds cached plans until explicitly dropped.
     """
-    from ..functions.minhash import (
-        make_band_keys_udf,
-        make_minhash_udf,
-        make_shingle_udf,
-    )
+    from ..functions.minhash import make_band_keys_udf, make_sig_shingle_udf
 
     from pyspark import StorageLevel
 
     from ..config import python_stage_width
 
-    mh = make_minhash_udf(num_hashes=num_hashes, k=shingle_k)
+    ssu = make_sig_shingle_udf(num_hashes=num_hashes, k=shingle_k)
     bk = make_band_keys_udf(bands=bands)
-    sh = make_shingle_udf(k=shingle_k)
     # a small-file corpus scans as one partition — the signature UDF (the
     # dominant per-doc cost) must still run at stage width
     base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).repartition(
         python_stage_width(docs.sparkSession)
     )
 
-    # signatures computed ONCE (persisted): both the banding explode and the
-    # estimate prefilter read the same column — the shingling+MinHash UDF
-    # is the dominant per-doc cost and must not run twice
-    sigs = base.select("id", mh("text").alias("sig")).persist(StorageLevel.MEMORY_AND_DISK)
+    feats = base.select("id", ssu("text").alias("f")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = feats.select("id", F.col("f.sig").alias("sig"))
     bids = sigs.select("id", F.explode(bk("sig")).alias("key"))
     l = bids.alias("l")
     r = bids.alias("r")
@@ -239,7 +235,9 @@ def minhash_lsh_pairs(
         .select("left_id", "right_id")
     )
 
-    arrs = base.select("id", sh("text").alias("sh")).withColumn("ss", F.size("sh"))
+    arrs = feats.select(
+        "id", F.col("f.sh").alias("sh")
+    ).withColumn("ss", F.size("sh"))
     j = pre.join(arrs.toDF("left_id", "lsh", "ls"), "left_id").join(
         arrs.toDF("right_id", "rsh", "rs"), "right_id"
     )
@@ -660,26 +658,22 @@ def minhash_lsh_pairs_cross(
     from pyspark import StorageLevel
 
     from ..config import python_stage_width
-    from ..functions.minhash import (
-        make_band_keys_udf,
-        make_minhash_udf,
-        make_shingle_udf,
-    )
+    from ..functions.minhash import make_band_keys_udf, make_sig_shingle_udf
 
-    mh = make_minhash_udf(num_hashes=num_hashes, k=shingle_k)
+    ssu = make_sig_shingle_udf(num_hashes=num_hashes, k=shingle_k)
     bk = make_band_keys_udf(bands=bands)
-    sh = make_shingle_udf(k=shingle_k)
     width = python_stage_width(left_docs.sparkSession)
 
     def _prep(docs):
         base = docs.select(
             F.col(id_col).alias("id"), F.col(text_col).alias("text")
         ).repartition(width)
-        sigs = base.select("id", mh("text").alias("sig")).persist(
+        feats = base.select("id", ssu("text").alias("f")).persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        sigs = feats.select("id", F.col("f.sig").alias("sig"))
         bids = sigs.select("id", F.explode(bk("sig")).alias("key"))
-        arrs = base.select("id", sh("text").alias("sh")).withColumn(
+        arrs = feats.select("id", F.col("f.sh").alias("sh")).withColumn(
             "ss", F.size("sh")
         )
         return sigs, bids, arrs

@@ -91,29 +91,34 @@ def clean_corpus(
 
 # ------------------------------------------------------- exact n-gram Jaccard
 
+def _shingle_array_col(text_col: str, n: int) -> F.Column:
+    """Distinct word-n-gram shingle array of a text column, pure JVM:
+    split → n parallel shifted slices → arrays_zip → concat.  One O(L)
+    slice per offset (n total) instead of one O(L) slice per *index* (the
+    slice-inside-transform formulation is O(L²) per row and ~12× slower
+    measured at sf0.1)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    if n == 1:
+        return F.array_distinct(toks)
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, length) for i in range(n)])
+    return F.array_distinct(
+        F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
+    )
+
+
 def _token_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shingle): distinct word-n-gram shingles per doc, exploded.
 
-    Pure JVM: split → n parallel shifted slices → arrays_zip → concat.  One
-    O(L) slice per offset (n total) instead of one O(L) slice per *index*
-    (the slice-inside-transform formulation is O(L²) per row and ~12× slower
-    measured at sf0.1).  Deliberately does NOT emit a set_size column: a
-    projection next to explode is evaluated once per *output* row, so
-    size(<shingle expr>) there re-runs the whole shingle pipeline L times
-    per doc (O(L²) again, measured 28 s vs 3 s at sf0.1); sizes come from a
-    tiny groupBy over the exploded rows instead (shingles are distinct per
-    doc, so count(*) == |set|)."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    if n == 1:
-        shingles = F.array_distinct(toks)
-    else:
-        length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-        zipped = F.arrays_zip(*[F.slice(toks, i + 1, length) for i in range(n)])
-        shingles = F.array_distinct(
-            F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
-        )
+    Deliberately does NOT emit a set_size column: a projection next to
+    explode is evaluated once per *output* row, so size(<shingle expr>)
+    there re-runs the whole shingle pipeline L times per doc (O(L²),
+    measured 28 s vs 3 s at sf0.1); consumers needing sizes should project
+    `_shingle_array_col` once and take F.size on the materialized array
+    (ngram_jaccard_pairs) or count the exploded rows (decontaminate)."""
     return docs.select(
-        F.col(id_col).alias("id"), F.explode(shingles).alias("shingle")
+        F.col(id_col).alias("id"),
+        F.explode(_shingle_array_col(text_col, n)).alias("shingle"),
     )
 
 
@@ -131,9 +136,28 @@ def ngram_jaccard_pairs(
     least one shingle are ever materialized, so cost is Σ_shingle df² — the
     standard inverted-index prefilter; skew from stop-shingles is the hot-key
     problem LSH banding (minhash_lsh_pairs) solves at corpus scale.
+
+    The per-doc shingle ARRAY table is computed once at python-stage width
+    and persisted for the duration of this plan: the inverted-index
+    self-join reads it on both sides (no exchange to share when one side
+    broadcasts) and the size column is one F.size over the cached array —
+    previously the split/slice/zip/distinct pipeline ran three times (two
+    join sides + a 12.5M-row groupBy for sizes) on however few partitions
+    the corpus file happened to scan as.  Cache ownership: loop callers
+    clearCache() (bench.py does).
     """
-    sh = _token_shingles(docs, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    from pyspark import StorageLevel
+
+    from ..config import python_stage_width
+
+    arr = (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col))
+        .repartition(python_stage_width(docs.sparkSession))
+        .select("id", _shingle_array_col(text_col, n).alias("shs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sh = arr.select("id", F.explode("shs").alias("shingle"))
+    sizes = arr.select("id", F.size("shs").alias("sz"))
     l = sh.alias("l")
     r = sh.alias("r")
     common = (
@@ -264,12 +288,24 @@ def simhash_pairs(
     signature UDF."""
     from ..config import python_stage_width
 
+    from pyspark import StorageLevel
+
     sim = make_simhash_udf()
-    base = docs.select(F.col(id_col).alias("id"), F.col(text_col)).repartition(
+    # NULL-text docs are not pairable (NULL signature in the oracle's md5
+    # chain): filter on the TEXT column before the UDF — filtering on
+    # sig.isNotNull() after it gets pushed below the repartition by
+    # Catalyst and evaluates the signature UDF twice per join side
+    # (measured 4 ArrowEvalPython nodes in the executed plan)
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col)).where(
+        F.col(text_col).isNotNull()
+    ).repartition(
         python_stage_width(docs.sparkSession)  # see minhash_lsh_pairs note
     ).select("id", sim(F.col(text_col)).alias("sig"))
-    # NULL-text docs carry NULL signatures (oracle parity) — not pairable
-    base = base.where(F.col("sig").isNotNull())
+    # persisted for the duration of THIS plan: the band self-join reads the
+    # signature table on both sides, and with a broadcast build side the
+    # two subtrees cannot share an exchange — without the persist the UDF
+    # runs once per side (cache ownership: loop callers clearCache())
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     bandcols = [
         F.concat(F.lit(f"{i}:"), F.shiftright("sig", 16 * i).bitwiseAND(F.lit(0xFFFF)).cast("string")).alias("band")
         for i in range(4)

@@ -471,9 +471,18 @@ def q_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_resolution_pipeline_spark.config import python_stage_width
     from entity_resolution_pipeline_spark.functions.text_analysis import make_winnow_udf
 
+    from pyspark import StorageLevel
+
     docs = _read(spark, sf_dir, "documents").repartition(python_stage_width(spark))
     w = make_winnow_udf(k=16, window=6)
-    fps = docs.select("doc_id", F.explode(w("text")).alias("fp")).dropDuplicates()
+    # persisted: the candidate self-join reads fingerprints on both sides
+    # and a broadcast build side cannot share the exchange — without the
+    # persist the winnow UDF runs twice over the corpus
+    fps = (
+        docs.select("doc_id", F.explode(w("text")).alias("fp"))
+        .dropDuplicates()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     l = fps.alias("l")
     r = fps.alias("r")
     return (

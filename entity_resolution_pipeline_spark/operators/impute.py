@@ -84,6 +84,13 @@ def impute_vectors(
             sel.append(F.col("donor_value").alias("imputed_value"))
         return candidates.where(F.col("rank") == 1).select(*sel)
 
+    from pyspark import StorageLevel
+
+    # persisted: the averaging path consumes candidates twice (per-position
+    # mean + donor count) — without the persist the whole SRP-bucketed KNN
+    # join (including its Arrow UDF stages) re-executes per consumer.
+    # Cache ownership: lives for this plan; loop callers clearCache().
+    candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
     weight = F.col("cosine") if cfg.method == "weighted_average" else F.lit(1.0)
     exploded = candidates.select(
         "record_id",

@@ -117,3 +117,42 @@ def test_minhash_identical_strings_estimate_one(s):
     assert np.array_equal(
         minhash_signature(s, num_hashes=32, k=3), minhash_signature(s, num_hashes=32, k=3)
     )
+
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1), min_size=1, max_size=200))
+@settings(max_examples=200)
+def test_mod_mersenne_matches_hardware_mod(vals):
+    """The shift-add Mersenne reduction must be bit-identical to % over the
+    FULL uint64 range (the fold identity 2³¹ ≡ 1 (mod p) holds for any v)."""
+    from entity_resolution_pipeline_spark.functions.minhash import (
+        _MERSENNE_P,
+        _mod_mersenne,
+    )
+
+    v = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(_mod_mersenne(v), v % np.uint64(_MERSENNE_P))
+
+
+@given(
+    st.lists(st.text(max_size=120), min_size=1, max_size=40),
+    st.integers(min_value=2, max_value=6),
+)
+@settings(max_examples=50, deadline=None)
+def test_batched_signature_kernel_matches_per_doc(texts, k):
+    """The blocked minimum.reduceat signature kernel (what the UDF runs)
+    must equal the per-doc formulation for every doc, including empty /
+    too-short texts (sentinel rows) interleaved with real ones."""
+    from entity_resolution_pipeline_spark.functions.minhash import (
+        _coeffs,
+        _sig_from_shingles,
+        _sigs_batched,
+    )
+
+    a, b = _coeffs(16)
+    sets = [shingle_set(t, k) for t in texts]
+    got = _sigs_batched(sets, a, b, 16)
+    for g, sh in zip(got, sets):
+        if len(sh):
+            assert g == _sig_from_shingles(sh, a, b).tolist()
+        else:
+            assert g == [-1] * 16

@@ -219,10 +219,18 @@ def bench_queries(spark) -> tuple[dict, dict]:
 
     @pandas_udf(LongType())
     def _warm(s: pd.Series) -> pd.Series:
+        # touch the libraries every real UDF uses so each spawned worker
+        # pays its import cost here, not inside the first timed query
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
         return s
 
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
-    spark.range(0, 10000, numPartitions=8).select(_warm(col("id"))).count()
+    # one warm task per core: Python stages run at up to CPUS partitions,
+    # so an 8-partition warmup left most workers to spawn (fork + numpy
+    # import, ~0.5 s each) inside whichever UDF query ran them first
+    spark.range(0, 100000, numPartitions=CPUS).select(_warm(col("id"))).count()
     for name in HEADLINE:
         t0 = time.time()
         if name == "er_dedup_pipeline":

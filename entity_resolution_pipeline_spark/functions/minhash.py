@@ -237,6 +237,46 @@ def make_sig_shingle_udf(num_hashes: int = 64, k: int = 3):
     return sig_shingle_udf
 
 
+def make_sig_shingle_band_udf(num_hashes: int = 64, k: int = 3, bands: int = 16):
+    """Arrow pandas UDF: string column → struct(sig array<long>, sh
+    array<long>, keys array<string>) — signature, sorted distinct
+    shingle-hash set AND the LSH band keys, all from ONE pass over the
+    text.  Emitting the keys here removes the separate band-key Python
+    stage the LSH operators otherwise run over the sig column (a whole
+    extra Arrow round-trip per corpus side at crawl-snapshot latencies).
+    Values are bit-identical to make_sig_shingle_udf + make_band_keys_udf
+    composed (same kernels)."""
+    from pyspark.sql.types import StructField, StructType
+
+    a, b = _coeffs(num_hashes)
+    ret = StructType(
+        [
+            StructField("sig", ArrayType(LongType())),
+            StructField("sh", ArrayType(LongType())),
+            StructField("keys", ArrayType(StringType())),
+        ]
+    )
+
+    @pandas_udf(ret)
+    def sig_shingle_band_udf(texts: pd.Series) -> pd.DataFrame:
+        sets = [
+            shingle_set(t, k) if t else np.empty(0, dtype=np.uint64)
+            for t in texts
+        ]
+        sigs = _sigs_batched(sets, a, b, num_hashes)
+        return pd.DataFrame(
+            {
+                "sig": sigs,
+                "sh": [s.astype(np.int64).tolist() for s in sets],
+                "keys": [
+                    band_keys(np.asarray(s, dtype=np.int64), bands) for s in sigs
+                ],
+            }
+        )
+
+    return sig_shingle_band_udf
+
+
 def make_shingle_udf(k: int = 3):
     """Arrow pandas UDF: string column → sorted array<long> of distinct
     polynomial-rolling-hash shingle values over k-BYTE windows of the

@@ -183,6 +183,106 @@ def ngram_jaccard_pairs(
 
 # ---------------------------------------------------------------- MinHash-LSH
 
+def _minhash_feats(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_k: int,
+    bands: int,
+) -> DataFrame:
+    """Persisted per-doc MinHash feature table (id, sig, sh, ss, keys) at
+    stage width — ONE text pass (make_sig_shingle_band_udf) feeds banding,
+    the estimate prefilter AND the exact-verify arrays; the band keys ride
+    along so no second Python stage ever touches the sig column."""
+    from pyspark import StorageLevel
+
+    from ..config import python_stage_width
+    from ..functions.minhash import make_sig_shingle_band_udf
+
+    ssu = make_sig_shingle_band_udf(num_hashes=num_hashes, k=shingle_k, bands=bands)
+    base = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).repartition(python_stage_width(docs.sparkSession))
+    return (
+        base.select("id", ssu("text").alias("f"))
+        .select(
+            "id",
+            F.col("f.sig").alias("sig"),
+            F.col("f.sh").alias("sh"),
+            F.size("f.sh").alias("ss"),
+            F.col("f.keys").alias("keys"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def _feats_broadcastable(
+    feats: DataFrame, num_hashes: int, bands: int, budget_mb: int
+) -> bool:
+    """One tiny agg job over the persisted feature table → conservative
+    broadcast size estimate.  Per row: 8 B/signature slot, 8 B/shingle,
+    ~96 B id + struct overhead, plus the exploded band table (~50 B/key ×
+    bands); ×2 for the JVM hash-relation overhead.  The agg materializes
+    the persist — work the plan pays anyway."""
+    if budget_mb <= 0:
+        return False
+    row = feats.agg(
+        F.count("*").alias("n"), F.coalesce(F.sum("ss"), F.lit(0)).alias("sh")
+    ).first()
+    est = 2 * (row["n"] * (8 * num_hashes + 96 + 50 * bands) + 8 * row["sh"])
+    return est <= budget_mb * (1 << 20)
+
+
+def _est_floor(threshold: float, num_hashes: int) -> float:
+    return max(
+        threshold - 3.0 * (threshold * (1.0 - threshold) / num_hashes) ** 0.5, 0.0
+    )
+
+
+def _fused_verify(
+    cands: DataFrame,
+    lfeats: DataFrame,
+    rfeats: DataFrame,
+    num_hashes: int,
+    threshold: float,
+    broadcast_right: bool,
+) -> DataFrame:
+    """Pair assembly + estimate gate + exact verify in ONE stage: candidates
+    join the left feature table (sig AND shingles together — one shuffle,
+    not the tiered two), the right side arrives map-side as a broadcast
+    when `broadcast_right`, and the filters run est-before-intersect
+    (Catalyst's CombineFilters keeps conjunct order, so the cheap 64-slot
+    signature fold short-circuits the array_intersect for ~half the
+    candidates).  Values identical to the tiered path: same floor, same
+    Jaccard, same rounding."""
+    lfull = lfeats.select(
+        F.col("id").alias("left_id"),
+        F.col("sig").alias("lsig"),
+        F.col("sh").alias("lsh"),
+        F.col("ss").alias("ls"),
+    )
+    rfull = rfeats.select(
+        F.col("id").alias("right_id"),
+        F.col("sig").alias("rsig"),
+        F.col("sh").alias("rsh"),
+        F.col("ss").alias("rs"),
+    )
+    if broadcast_right:
+        rfull = F.broadcast(rfull)
+    eq = F.zip_with("lsig", "rsig", lambda a, b: (a == b).cast("int"))
+    est = F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.lit(num_hashes)
+    common = F.size(F.array_intersect("lsh", "rsh"))
+    jac = common / (F.col("ls") + F.col("rs") - common)
+    return (
+        cands.join(lfull, "left_id")
+        .join(rfull, "right_id")
+        .where(est >= _est_floor(threshold, num_hashes))
+        .where(jac >= threshold)
+        .select("left_id", "right_id", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -191,6 +291,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.5,
+    broadcast_budget_mb: int = 256,
 ) -> DataFrame:
     """Sub-quadratic near-dup pairs, three-tier (generate → estimate → verify):
 
@@ -219,26 +320,31 @@ def minhash_lsh_pairs(
     Long-lived sessions that invoke dedup operators in a loop should
     `spark.catalog.clearCache()` between invocations (bench.py does) —
     Spark's CacheManager holds cached plans until explicitly dropped.
+
+    Broadcast cutover: when the whole feature table fits
+    `broadcast_budget_mb` (one tiny agg over the persist decides), the
+    band self-join AND the pair-assembly both run map-side against the
+    broadcast — the only exchanges left are the ids-only candidate dedup
+    and one join back to the left features, which at crawl-snapshot
+    latencies (small corpora, 32-way stages) is the dominant win.  Over
+    budget, the tiered ids-only shape above is the bytes-optimal 10^12-doc
+    plan and remains the fallback (0 disables the probe entirely).
     """
-    from ..functions.minhash import make_band_keys_udf, make_sig_shingle_udf
+    feats = _minhash_feats(docs, id_col, text_col, num_hashes, shingle_k, bands)
+    bids = feats.select("id", F.explode("keys").alias("key"))
 
-    from pyspark import StorageLevel
+    if _feats_broadcastable(feats, num_hashes, bands, broadcast_budget_mb):
+        cands = (
+            bids.toDF("left_id", "key")
+            .join(F.broadcast(bids.toDF("right_id", "key")), "key")
+            .where(F.col("left_id") < F.col("right_id"))
+            .select("left_id", "right_id")
+            .dropDuplicates()
+        )
+        return _fused_verify(
+            cands, feats, feats, num_hashes, threshold, broadcast_right=True
+        )
 
-    from ..config import python_stage_width
-
-    ssu = make_sig_shingle_udf(num_hashes=num_hashes, k=shingle_k)
-    bk = make_band_keys_udf(bands=bands)
-    # a small-file corpus scans as one partition — the signature UDF (the
-    # dominant per-doc cost) must still run at stage width
-    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).repartition(
-        python_stage_width(docs.sparkSession)
-    )
-
-    feats = base.select("id", ssu("text").alias("f")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sigs = feats.select("id", F.col("f.sig").alias("sig"))
-    bids = sigs.select("id", F.explode(bk("sig")).alias("key"))
     l = bids.alias("l")
     r = bids.alias("r")
     cands = (
@@ -247,21 +353,17 @@ def minhash_lsh_pairs(
         .select(F.col("l.id").alias("left_id"), F.col("r.id").alias("right_id"))
         .dropDuplicates()
     )
-    est_floor = max(
-        threshold - 3.0 * (threshold * (1.0 - threshold) / num_hashes) ** 0.5, 0.0
-    )
+    sigs = feats.select("id", "sig")
     eq = F.zip_with("lsig", "rsig", lambda a, b: (a == b).cast("int"))
     est = F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.lit(num_hashes)
     pre = (
         cands.join(sigs.toDF("left_id", "lsig"), "left_id")
         .join(sigs.toDF("right_id", "rsig"), "right_id")
-        .where(est >= est_floor)
+        .where(est >= _est_floor(threshold, num_hashes))
         .select("left_id", "right_id")
     )
 
-    arrs = feats.select(
-        "id", F.col("f.sh").alias("sh")
-    ).withColumn("ss", F.size("sh"))
+    arrs = feats.select("id", "sh", "ss")
     j = pre.join(arrs.toDF("left_id", "lsh", "ls"), "left_id").join(
         arrs.toDF("right_id", "rsh", "rs"), "right_id"
     )
@@ -675,6 +777,7 @@ def minhash_lsh_pairs_cross(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.5,
+    broadcast_budget_mb: int = 256,
 ) -> DataFrame:
     """minhash_lsh_pairs between TWO corpora (left x right, never left x
     left): the incremental-crawl form of near-dup detection — band keys
@@ -685,37 +788,35 @@ def minhash_lsh_pairs_cross(
     `threshold`.  Returns (left_id, right_id, jaccard) with jaccard >=
     threshold.
 
-    At 10^12-doc scale the right (corpus) side's signatures, band keys and
-    shingle arrays are computed once per snapshot and PERSISTED as tables
-    keyed by band — each new crawl recomputes only its own side and joins
-    against the stored bands; this function recomputes both sides, which
-    is the right shape for the sandbox's in-memory fixtures and keeps the
+    Broadcast cutover: the RIGHT (corpus/prior-snapshot) side is the
+    natural broadcast candidate — when its whole feature table fits
+    `broadcast_budget_mb` (one agg over the persist decides), the band
+    join and the verify both run map-side and the plan's only exchanges
+    are the ids-only candidate dedup plus one join back to the new side's
+    features.  Over budget (the 10^12-doc corpus), the tiered ids-only
+    shuffle shape is the fallback; 0 disables the probe.
+
+    At 10^12-doc scale the right side's signatures, band keys and shingle
+    arrays are computed once per snapshot and PERSISTED as tables keyed by
+    band — each new crawl recomputes only its own side and joins against
+    the stored bands; this function recomputes both sides, which is the
+    right shape for the sandbox's in-memory fixtures and keeps the
     operator self-contained."""
-    from pyspark import StorageLevel
+    lfeats = _minhash_feats(left_docs, id_col, text_col, num_hashes, shingle_k, bands)
+    rfeats = _minhash_feats(right_docs, id_col, text_col, num_hashes, shingle_k, bands)
+    lbids = lfeats.select("id", F.explode("keys").alias("key"))
+    rbids = rfeats.select("id", F.explode("keys").alias("key"))
 
-    from ..config import python_stage_width
-    from ..functions.minhash import make_band_keys_udf, make_sig_shingle_udf
-
-    ssu = make_sig_shingle_udf(num_hashes=num_hashes, k=shingle_k)
-    bk = make_band_keys_udf(bands=bands)
-    width = python_stage_width(left_docs.sparkSession)
-
-    def _prep(docs):
-        base = docs.select(
-            F.col(id_col).alias("id"), F.col(text_col).alias("text")
-        ).repartition(width)
-        feats = base.select("id", ssu("text").alias("f")).persist(
-            StorageLevel.MEMORY_AND_DISK
+    if _feats_broadcastable(rfeats, num_hashes, bands, broadcast_budget_mb):
+        cands = (
+            lbids.toDF("left_id", "key")
+            .join(F.broadcast(rbids.toDF("right_id", "key")), "key")
+            .select("left_id", "right_id")
+            .dropDuplicates()
         )
-        sigs = feats.select("id", F.col("f.sig").alias("sig"))
-        bids = sigs.select("id", F.explode(bk("sig")).alias("key"))
-        arrs = feats.select("id", F.col("f.sh").alias("sh")).withColumn(
-            "ss", F.size("sh")
+        return _fused_verify(
+            cands, lfeats, rfeats, num_hashes, threshold, broadcast_right=True
         )
-        return sigs, bids, arrs
-
-    lsigs, lbids, larrs = _prep(left_docs)
-    rsigs, rbids, rarrs = _prep(right_docs)
 
     cands = (
         lbids.toDF("left_id", "key")
@@ -723,20 +824,17 @@ def minhash_lsh_pairs_cross(
         .select("left_id", "right_id")
         .dropDuplicates()
     )
-    est_floor = max(
-        threshold - 3.0 * (threshold * (1.0 - threshold) / num_hashes) ** 0.5, 0.0
-    )
     eq = F.zip_with("lsig", "rsig", lambda a, b: (a == b).cast("int"))
     est = F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.lit(num_hashes)
     pre = (
-        cands.join(lsigs.toDF("left_id", "lsig"), "left_id")
-        .join(rsigs.toDF("right_id", "rsig"), "right_id")
-        .where(est >= est_floor)
+        cands.join(lfeats.select("id", "sig").toDF("left_id", "lsig"), "left_id")
+        .join(rfeats.select("id", "sig").toDF("right_id", "rsig"), "right_id")
+        .where(est >= _est_floor(threshold, num_hashes))
         .select("left_id", "right_id")
     )
-    j = pre.join(larrs.toDF("left_id", "lsh", "ls"), "left_id").join(
-        rarrs.toDF("right_id", "rsh", "rs"), "right_id"
-    )
+    j = pre.join(
+        lfeats.select("id", "sh", "ss").toDF("left_id", "lsh", "ls"), "left_id"
+    ).join(rfeats.select("id", "sh", "ss").toDF("right_id", "rsh", "rs"), "right_id")
     common = F.size(F.array_intersect("lsh", "rsh"))
     jac = common / (F.col("ls") + F.col("rs") - common)
     return j.where(jac >= threshold).select(

@@ -291,7 +291,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.5,
-    broadcast_budget_mb: int = 256,
+    broadcast_budget_mb: int = 0,
 ) -> DataFrame:
     """Sub-quadratic near-dup pairs, three-tier (generate → estimate → verify):
 
@@ -321,14 +321,19 @@ def minhash_lsh_pairs(
     `spark.catalog.clearCache()` between invocations (bench.py does) —
     Spark's CacheManager holds cached plans until explicitly dropped.
 
-    Broadcast cutover: when the whole feature table fits
-    `broadcast_budget_mb` (one tiny agg over the persist decides), the
-    band self-join AND the pair-assembly both run map-side against the
-    broadcast — the only exchanges left are the ids-only candidate dedup
-    and one join back to the left features, which at crawl-snapshot
-    latencies (small corpora, 32-way stages) is the dominant win.  Over
-    budget, the tiered ids-only shape above is the bytes-optimal 10^12-doc
-    plan and remains the fallback (0 disables the probe entirely).
+    Broadcast cutover (default OFF for the self-join): when the whole
+    feature table fits `broadcast_budget_mb`, the band self-join and the
+    pair assembly run map-side against a broadcast.  Measured at sf0.1
+    (5000 docs, 414k band candidates): the SELF-join is CPU-bound in the
+    estimate gate + exact intersect, not exchange-bound, so the broadcast
+    build is pure overhead (5.7 s vs 4.1 s steady) — hence default 0 here,
+    while the CROSS variant (small candidate volumes, latency-bound)
+    defaults it ON.  Two measured negatives pinned the current shape: an
+    explicit 64-term GetArrayItem sum for the estimate is 4x SLOWER than
+    the zip_with/aggregate fold (18.8 s vs 4.8 s — per-item bounds checks
+    break the fold's single pass), and broadcasting both verify sides
+    matches shuffle cost exactly (4.98 vs 4.83 s) because the verify is
+    compute-, not byte-, dominated at this shape.
     """
     feats = _minhash_feats(docs, id_col, text_col, num_hashes, shingle_k, bands)
     bids = feats.select("id", F.explode("keys").alias("key"))

@@ -240,6 +240,28 @@ def _est_floor(threshold: float, num_hashes: int) -> float:
     )
 
 
+def _exact_jaccard(sur: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verify over estimate-gate survivors carrying
+    (left_id, right_id, lsh, rsh, ls, rs): |A∩B| via the Arrow sorted-merge
+    kernel (make_intersect_size_udf — the interpreted JVM array_intersect
+    costs ~45 µs/pair and the division filter evaluates it twice), then the
+    SAME double-division + 6dp rounding boundary as the SQL oracle.  The
+    filter references the kernel's output column, so Catalyst cannot push
+    it below the Arrow stage — the kernel runs exactly once per pair."""
+    from ..functions.minhash import make_intersect_size_udf
+
+    isz = make_intersect_size_udf()
+    c = F.col("c").cast("double")
+    jac = c / (F.col("ls") + F.col("rs") - c)
+    return (
+        sur.select(
+            "left_id", "right_id", isz("lsh", "rsh").alias("c"), "ls", "rs"
+        )
+        .where(jac >= threshold)
+        .select("left_id", "right_id", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 def _fused_verify(
     cands: DataFrame,
     lfeats: DataFrame,
@@ -272,15 +294,12 @@ def _fused_verify(
         rfull = F.broadcast(rfull)
     eq = F.zip_with("lsig", "rsig", lambda a, b: (a == b).cast("int"))
     est = F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.lit(num_hashes)
-    common = F.size(F.array_intersect("lsh", "rsh"))
-    jac = common / (F.col("ls") + F.col("rs") - common)
-    return (
+    sur = (
         cands.join(lfull, "left_id")
         .join(rfull, "right_id")
         .where(est >= _est_floor(threshold, num_hashes))
-        .where(jac >= threshold)
-        .select("left_id", "right_id", F.round(jac, 6).alias("jaccard"))
     )
+    return _exact_jaccard(sur, threshold)
 
 
 def minhash_lsh_pairs(
@@ -372,13 +391,8 @@ def minhash_lsh_pairs(
     j = pre.join(arrs.toDF("left_id", "lsh", "ls"), "left_id").join(
         arrs.toDF("right_id", "rsh", "rs"), "right_id"
     )
-    common = F.size(F.array_intersect("lsh", "rsh"))
-    jac = common / (F.col("ls") + F.col("rs") - common)
     # unrounded threshold, rounded output — same boundary as the oracle
-    return (
-        j.where(jac >= threshold)
-        .select("left_id", "right_id", F.round(jac, 6).alias("jaccard"))
-    )
+    return _exact_jaccard(j, threshold)
 
 
 # -------------------------------------------------------------------- SimHash
@@ -840,11 +854,7 @@ def minhash_lsh_pairs_cross(
     j = pre.join(
         lfeats.select("id", "sh", "ss").toDF("left_id", "lsh", "ls"), "left_id"
     ).join(rfeats.select("id", "sh", "ss").toDF("right_id", "rsh", "rs"), "right_id")
-    common = F.size(F.array_intersect("lsh", "rsh"))
-    jac = common / (F.col("ls") + F.col("rs") - common)
-    return j.where(jac >= threshold).select(
-        "left_id", "right_id", F.round(jac, 6).alias("jaccard")
-    )
+    return _exact_jaccard(j, threshold)
 
 
 # ------------------------------------------------- semantic (SemDeDup) dedup

@@ -296,16 +296,25 @@ def make_intersect_size_udf():
     def intersect_size_udf(lsh: pd.Series, rsh: pd.Series) -> pd.Series:
         out = np.empty(len(lsh), dtype=np.int32)
         for i, (a, b) in enumerate(zip(lsh, rsh)):
-            a = np.asarray(a, dtype=np.int64)
-            b = np.asarray(b, dtype=np.int64)
-            if len(a) > len(b):
-                a, b = b, a
-            idx = np.searchsorted(b, a)
-            idx[idx == len(b)] = 0
-            out[i] = int(np.count_nonzero(b[idx] == a)) if len(b) else 0
+            out[i] = sorted_intersect_size(
+                np.asarray(a, dtype=np.int64), np.asarray(b, dtype=np.int64)
+            )
         return pd.Series(out)
 
     return intersect_size_udf
+
+
+def sorted_intersect_size(a: np.ndarray, b: np.ndarray) -> int:
+    """Exact |A∩B| for two SORTED-DISTINCT int64 arrays: searchsorted of
+    the shorter into the longer + equality count (see
+    make_intersect_size_udf for why this replaces JVM array_intersect)."""
+    if len(a) > len(b):
+        a, b = b, a
+    if not len(b) or not len(a):
+        return 0
+    idx = np.searchsorted(b, a)
+    idx[idx == len(b)] = 0
+    return int(np.count_nonzero(b[idx] == a))
 
 
 def make_shingle_udf(k: int = 3):

@@ -156,3 +156,26 @@ def test_batched_signature_kernel_matches_per_doc(texts, k):
             assert g == _sig_from_shingles(sh, a, b).tolist()
         else:
             assert g == [-1] * 16
+
+
+@given(
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=80),
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=80),
+)
+@settings(max_examples=200, deadline=None)
+def test_sorted_intersect_size_matches_set_semantics(xs, ys):
+    """The Arrow verify kernel's searchsorted merge must equal
+    |set(A) ∩ set(B)| for any sorted-distinct inputs — including empty
+    sides, disjoint sets, full overlap, and length-swapped pairs (the
+    kernel probes the shorter into the longer)."""
+    import numpy as np
+
+    from entity_resolution_pipeline_spark.functions.minhash import (
+        sorted_intersect_size,
+    )
+
+    a = np.array(sorted(set(xs)), dtype=np.int64)
+    b = np.array(sorted(set(ys)), dtype=np.int64)
+    want = len(set(xs) & set(ys))
+    assert sorted_intersect_size(a, b) == want
+    assert sorted_intersect_size(b, a) == want

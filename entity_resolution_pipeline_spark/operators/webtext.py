@@ -1319,25 +1319,21 @@ def incremental_fuzzy_dedup(
     Returns (doc_id, n_corpus_matches, kept) for every new document,
     kept = 1 iff no corpus neighbor reaches the threshold.
 
-    Candidates come from `dedup.minhash_lsh_pairs_cross` — band keys of
-    the two corpora meet in one equi-join, so new x new and corpus x
-    corpus pairs are never generated, and the corpus side's
-    signatures/bands are the precomputable per-snapshot artifact (see the
-    cross-join operator's scale note).  The flag itself is one left join
-    of the new id list against the per-new-id match count."""
-    from .dedup import minhash_lsh_pairs_cross
+    Same candidate/gate/verify semantics as `dedup.minhash_lsh_pairs_cross`
+    (band keys of the two corpora meet, so new x new and corpus x corpus
+    pairs are never generated; the corpus side's signatures/bands/shingles
+    are the precomputable per-snapshot artifact), but implemented as
+    `dedup.fuzzy_flags_against_corpus`: when the corpus feature table fits
+    the broadcast budget the whole count runs in ONE zero-shuffle
+    mapInPandas pass over the new side — on a self-similar crawl the pair
+    table this operator used to materialize is millions of rows carrying
+    per-pair shingle arrays just to be counted (see the flag operator's
+    measured note); over budget it falls back to the tiered pair path +
+    count + left join."""
+    from .dedup import fuzzy_flags_against_corpus
 
-    pairs = minhash_lsh_pairs_cross(
+    return fuzzy_flags_against_corpus(
         new_docs, corpus_docs, id_col=id_col, text_col=text_col, threshold=threshold
-    )
-    counts = pairs.groupBy("left_id").agg(
-        F.count("*").cast("long").alias("n_corpus_matches")
-    )
-    ids = new_docs.select(F.col(id_col).alias("left_id"))
-    return ids.join(counts, "left_id", "left").select(
-        F.col("left_id").alias(id_col),
-        F.coalesce("n_corpus_matches", F.lit(0)).alias("n_corpus_matches"),
-        F.when(F.col("n_corpus_matches").isNull(), 1).otherwise(0).alias("kept"),
     )
 
 

@@ -891,23 +891,48 @@ def fuzzy_flags_against_corpus(
     per-pair shingle arrays into the verify stage just to count them.
     Here, when the corpus feature table fits `broadcast_budget_mb` (the
     per-snapshot precomputable artifact: signatures, shingle sets, band
-    keys — one tiny agg over the persist decides), the ENTIRE match count
-    runs inside one mapInPandas pass over the new side's feature table
-    with the corpus broadcast: per document, band buckets -> unique
-    candidate ids (the pair path's dropDuplicates), a vectorized
-    signature-agreement gate (identical floor arithmetic), and the sorted
-    merge exact intersect for survivors.  Zero exchanges, zero pair rows;
-    bytes moved = one corpus broadcast + one pass over the new side.
-    Over budget, falls back to the pair-materializing path (count +
-    left join), which remains the 10^12-doc shuffle shape.
+    keys), the ENTIRE match count runs inside ONE fused mapInPandas pass
+    over the new side's RAW text with the corpus broadcast: per batch,
+    shingle + sign + band (the same kernels `_minhash_feats` wires), then
+    per document band buckets -> unique candidate ids (the pair path's
+    dropDuplicates), a vectorized signature-agreement gate (identical
+    floor arithmetic), and the sorted-merge exact intersect for
+    survivors.  Zero exchanges, zero pair rows, a single Python stage
+    (the earlier two-stage form paid a second Arrow round-trip shipping
+    the new side's feature structs JVM->Python again); bytes moved = one
+    corpus broadcast + one pass over the new side.
+
+    The cutover itself costs one COLUMNAR agg over the raw corpus text —
+    no Python pass, no persist: distinct k-shingles per document are
+    bounded by the padded utf-8 byte length, so
+    `sum(octet_length(text)) + 2n` upper-bounds the 8 B/shingle term and
+    the estimate is conservative (repetitive text broadcasts less than
+    estimated, never more).  Over budget, falls back to the
+    pair-materializing path (count + left join), which remains the
+    10^12-doc shuffle shape.
     """
     import numpy as np
 
-    lfeats = _minhash_feats(
-        new_docs, id_col, text_col, num_hashes, shingle_k, bands, persist=False
-    )
-    rfeats = _minhash_feats(corpus_docs, id_col, text_col, num_hashes, shingle_k, bands)
-    if not _feats_broadcastable(rfeats, num_hashes, bands, broadcast_budget_mb):
+    bcast_ok = False
+    if broadcast_budget_mb > 0:
+        stat = corpus_docs.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.octet_length(F.col(text_col))), F.lit(0)
+            ).alias("len"),
+        ).first()
+        est = 2 * (
+            stat["n"] * (8 * num_hashes + 96 + 50 * bands)
+            + 8 * (stat["len"] + 2 * stat["n"])
+        )
+        bcast_ok = est <= broadcast_budget_mb * (1 << 20)
+    if not bcast_ok:
+        lfeats = _minhash_feats(
+            new_docs, id_col, text_col, num_hashes, shingle_k, bands, persist=False
+        )
+        rfeats = _minhash_feats(
+            corpus_docs, id_col, text_col, num_hashes, shingle_k, bands
+        )
         pairs = _cross_pairs_tiered(lfeats.persist(), rfeats, num_hashes, threshold)
         counts = pairs.groupBy("left_id").agg(
             F.count("*").cast("long").alias("n_corpus_matches")
@@ -921,6 +946,9 @@ def fuzzy_flags_against_corpus(
             .alias("kept"),
         )
 
+    rfeats = _minhash_feats(
+        corpus_docs, id_col, text_col, num_hashes, shingle_k, bands, persist=False
+    )
     rows = rfeats.select("sig", "sh", "ss", "keys").collect()
     SIGS = (
         np.array([r["sig"] for r in rows], dtype=np.int64)
@@ -938,19 +966,35 @@ def fuzzy_flags_against_corpus(
     floor = _est_floor(threshold, num_hashes)
     id_type = dict(new_docs.dtypes)[id_col]
 
+    from ..config import python_stage_width
+    from ..functions.minhash import (
+        _coeffs,
+        _sigs_batched,
+        band_keys,
+        shingle_set,
+    )
+
+    ca, cb = _coeffs(num_hashes)
+
     def kernel(batches):
         sigs_m, sh_l, rs_v, bkt = bc.value
         denom = float(num_hashes)
         for pdf in batches:
+            # same shingle/signature/band kernels _minhash_feats wires, run
+            # in-place so the new side's features never round-trip to the JVM
+            sets = [
+                shingle_set(t, shingle_k) if t else np.empty(0, dtype=np.uint64)
+                for t in pdf["text"]
+            ]
+            sigs = _sigs_batched(sets, ca, cb, num_hashes)
             ids, ns = [], []
-            for _id, sig, sh, ss, keys in zip(
-                pdf["id"], pdf["sig"], pdf["sh"], pdf["ss"], pdf["keys"]
-            ):
+            for _id, sig, sh_u in zip(pdf["id"], sigs, sets):
                 n = 0
+                sig_a = np.asarray(sig, dtype=np.int64)
+                keys = band_keys(sig_a, bands)
                 hits = [bkt[k] for k in keys if k in bkt]
                 if hits:
                     rids = np.unique(np.concatenate(hits))
-                    sig_a = np.asarray(sig, dtype=np.int64)
                     est = (sigs_m[rids] == sig_a[None, :]).sum(axis=1) / denom
                     sur = rids[est >= floor]
                     if len(sur):
@@ -960,8 +1004,8 @@ def fuzzy_flags_against_corpus(
                         # segment-sum the hit mask (np.add.reduceat) —
                         # exactly Σ sorted_intersect_size per survivor, one
                         # searchsorted instead of one numpy call per pair
-                        a = np.asarray(sh, dtype=np.int64)
-                        la = int(ss)
+                        a = sh_u.astype(np.int64)
+                        la = len(a)
                         lens = rs_v[sur]
                         flat = np.concatenate([sh_l[ri] for ri in sur])
                         idx = np.searchsorted(a, flat)
@@ -976,8 +1020,12 @@ def fuzzy_flags_against_corpus(
                 ns.append(n)
             yield pd.DataFrame({id_col: ids, "n_corpus_matches": ns})
 
-    out = lfeats.mapInPandas(
-        kernel, schema=f"{id_col} {id_type}, n_corpus_matches long"
+    out = (
+        new_docs.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("text")
+        )
+        .repartition(python_stage_width(new_docs.sparkSession))
+        .mapInPandas(kernel, schema=f"{id_col} {id_type}, n_corpus_matches long")
     )
     return out.select(
         id_col,

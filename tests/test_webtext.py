@@ -944,6 +944,45 @@ def test_incremental_fuzzy_dedup_no_new_x_new_pairs(spark):
     assert all(r["kept"] == 1 for r in out) and len(out) == 2
 
 
+def test_fuzzy_flags_broadcast_pair_path_parity(spark):
+    # the zero-shuffle broadcast kernel and the pair-materializing fallback
+    # must agree row-for-row (same candidates, same estimate floor, same
+    # exact-Jaccard boundary) on a mix of exact dups, near dups, short docs
+    # (empty shingle set -> no band keys) and novel text
+    from entity_resolution_pipeline_spark.operators.dedup import (
+        fuzzy_flags_against_corpus,
+    )
+
+    base = "shared crawl paragraph with many overlapping shingles inside it"
+    corpus = _docs(
+        spark,
+        [base, base + " trailing", "unrelated corpus document entirely", "ab"],
+    )
+    new = spark.createDataFrame(
+        [
+            (100, base),
+            (101, base + " extra tail words"),
+            (102, "never seen novel content with fresh vocabulary"),
+            (103, "x"),  # shorter than the shingle window: no keys, kept
+            (104, None),
+        ],
+        "doc_id long, text string",
+    )
+    bc = sorted(
+        tuple(r) for r in fuzzy_flags_against_corpus(new, corpus).collect()
+    )
+    pp = sorted(
+        tuple(r)
+        for r in fuzzy_flags_against_corpus(
+            new, corpus, broadcast_budget_mb=0
+        ).collect()
+    )
+    assert bc == pp and len(bc) == 5
+    kept = {t[0]: t[2] for t in bc}
+    assert kept[100] == 0 and kept[101] == 0
+    assert kept[102] == 1 and kept[103] == 1 and kept[104] == 1
+
+
 def test_minhash_cross_matches_self_join_on_cross_pairs(spark):
     # the cross variant over (A, B) must emit exactly the self-join variant's
     # pairs restricted to one id from each side

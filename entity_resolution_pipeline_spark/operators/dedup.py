@@ -897,7 +897,9 @@ def fuzzy_flags_against_corpus(
     per document band buckets -> unique candidate ids (the pair path's
     dropDuplicates), a vectorized signature-agreement gate (identical
     floor arithmetic), and the sorted-merge exact intersect for
-    survivors.  Zero exchanges, zero pair rows, a single Python stage
+    survivors.  Zero pair rows and zero feature shuffles (the plan's one
+    Exchange is the round-robin stage-width repartition of the new side's
+    slim (id, text) rows), a single Python stage
     (the earlier two-stage form paid a second Arrow round-trip shipping
     the new side's feature structs JVM->Python again); bytes moved = one
     corpus broadcast + one pass over the new side.

@@ -32,7 +32,8 @@ SHOW = [
     ("quality_classifier", "r2: model-based quality filter — ONE shuffle-free projection: weight array literal folded over each doc's grams via higher-order aggregate (no explode, no join, no Exchange); broadcast-join path kept for 2M-bucket models"),
     ("incremental_dedup", "r2: bloom-gated snapshot dedup — corpus read map-side into <=16 filter shards (no corpus shuffle), bloom-negative branch joins NOTHING, only the positive sliver reaches the exact verify join"),
     ("html_extract", "r2: WET-style HTML→text — the whole strip/unescape/normalize chain is ONE shuffle-free Project over the scan"),
-    ("incremental_fuzzy_dedup", "r2: cross-snapshot near-dup flagging — snapshot bands equi-join corpus bands (new×new structurally impossible), estimate prefilter + exact verify, one flag join back"),
+    ("incremental_fuzzy_dedup", "r4: cross-snapshot near-dup flagging — when the corpus feature table fits the broadcast budget (columnar octet-length estimate, no Python pre-pass) the WHOLE count runs as ONE fused mapInPandas pass over the new side's raw text (shingle+sign+band, per-doc band buckets → unique candidates, vectorized signature gate, sorted-merge exact intersect) with the corpus broadcast — zero pair rows, zero feature shuffles (the one Exchange is the stage-width round-robin of the new side's slim (id,text) rows); over budget it falls back to the r2 shape (snapshot bands equi-join corpus bands, new×new structurally impossible, estimate prefilter + exact verify)"),
+    ("minhash_lsh_pairs", "r4: MinHash-LSH self-join — ONE persisted sig+shingle feature pass per document (combined Arrow kernel: shift-add Mersenne mod, reduceat-blocked signatures), band explode + equi-join on (band, key) buckets, signature-agreement estimate gate, sorted-merge exact-Jaccard verify on survivors only; tiered two-phase pair assembly keeps per-pair shingle arrays off the band shuffle"),
     ("semantic_dedup", "r3/r4: SemDeDup — ±1 sign-projection shards as one shuffle-free Project (index-select folds, no UDF), then ONE groupBy(bucket)-applyInArrow stage (zero-copy flatten + gather, no per-row Series) computing the entire per-cluster semantics in numpy (centroid, blocked cosine matmul with a reused buffer, min-label-prop CC, keep-least-central); single Exchange total, no persist, no join-backs; bucket size bounded only by n_planes sizing (auto-derived from a corpus count by default)"),
     ("cluster_modularity", "r3: Newman Q decomposition — edge list shuffles on community id only; m is a 1-row broadcast; no windows, no driver graph"),
     ("quality_roc", "r4: distributed ROC/PR — ONE map-side-combined agg quantizes probabilities to 64 buckets; the window cumsum runs over the 64-row bin table (single-partition sort of O(bins), never of the data); P/N totals are a 1-row broadcast cross join"),

@@ -229,8 +229,15 @@ def bench_queries(spark) -> tuple[dict, dict]:
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
     # one warm task per core: Python stages run at up to CPUS partitions,
     # so an 8-partition warmup left most workers to spawn (fork + numpy
-    # import, ~0.5 s each) inside whichever UDF query ran them first
-    spark.range(0, 100000, numPartitions=CPUS).select(_warm(col("id"))).count()
+    # import, ~0.5 s each) inside whichever UDF query ran them first.
+    # MUST consume the UDF column: select(udf).count() lets Catalyst prune
+    # the deterministic UDF project entirely (measured: zero workers spawn),
+    # silently un-warming the pool — aggregate the output so the stage runs
+    from pyspark.sql.functions import sum as _fsum
+
+    spark.range(0, 100000, numPartitions=CPUS).select(
+        _warm(col("id")).alias("w")
+    ).agg(_fsum("w")).collect()
     for name in HEADLINE:
         t0 = time.time()
         if name == "er_dedup_pipeline":

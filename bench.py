@@ -250,8 +250,16 @@ def bench_queries(spark) -> tuple[dict, dict]:
         extra[name] = {"rows": n}
         # queries own their internal persists only for the duration of one
         # invocation; drop cached blocks so a long bench session doesn't
-        # accumulate eviction pressure (ADVICE r1)
+        # accumulate eviction pressure (ADVICE r1).  clearCache() frees
+        # catalog-cached plans only — localCheckpoint blocks (the CC rounds,
+        # the assignment pins) free when ContextCleaner sees the Python-side
+        # refs die, so drop them NOW instead of whenever CPython gets around
+        # to it (measured: a later heavy query paid 3x under retained blocks)
         spark.catalog.clearCache()
+        import gc
+
+        df = None
+        gc.collect()
     return times, extra
 
 

@@ -260,6 +260,12 @@ def cluster_predictions(
             .select("entity_id", F.col("entity_id").alias("root"))
         )
         assignments = assignments.unionByName(singles)
+    # the assignment table is consumed twice below (sizes agg + join) and —
+    # with all_entities — carries an anti-join; without a pin each consumer
+    # re-runs the CC tail (finisher kernel / min-agg shuffle) per action.
+    # Lazy localCheckpoint: first consumer materializes (zero extra
+    # actions), the rest rescan one-row-per-node blocks.
+    assignments = assignments.localCheckpoint(eager=False)
     sizes = assignments.groupBy("root").agg(F.count("*").alias("cluster_size"))
     out = (
         assignments.join(sizes, "root")

@@ -533,7 +533,9 @@ def fuzzy_dedup(
             F.col(id_col).cast("string").alias("entity_id"), F.col(keep_col)
         ),
         "entity_id",
-    )
+    # consumed 3x below (max agg, best equality join, final rep join);
+    # lazy pin so the assignment+quality join evaluates once, not thrice
+    ).localCheckpoint(eager=False)
     best = (
         scored.groupBy("cluster_root")
         .agg(F.max(keep_col).alias("_mx"))

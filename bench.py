@@ -104,6 +104,14 @@ def make_spark(cpus: int, app: str):
         # a crashed Arrow worker otherwise reports only "exited
         # unexpectedly"; the faulthandler dump costs nothing when healthy
         .config("spark.python.worker.faulthandler.enabled", "true")
+        # the generated-class cache defaults to 100 entries; a 28-query
+        # session compiles far more plan shapes than that, so by the time
+        # the steady sweep re-runs query 1 its classes have been evicted
+        # and janino recompiles from scratch (measured: steady
+        # er_dedup_pipeline 9.0 s under eviction vs 5.8 s cached).  A
+        # compiled class is a few KB — 5000 entries is noise against the
+        # heap and is what a long-lived production session wants anyway.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     evdir = os.environ.get("SPARK_GRAFT_EVLOG")
     if evdir:
@@ -205,7 +213,7 @@ def run_er_pipeline(spark, n_records: int = 8000, cpus: int | None = None) -> di
     }
 
 
-def bench_queries(spark) -> tuple[dict, dict]:
+def bench_queries(spark) -> tuple[dict, dict, dict]:
     import __spark_entry__ as E
 
     qs = E.queries()
@@ -238,16 +246,11 @@ def bench_queries(spark) -> tuple[dict, dict]:
     spark.range(0, 100000, numPartitions=CPUS).select(
         _warm(col("id")).alias("w")
     ).agg(_fsum("w")).collect()
-    for name in HEADLINE:
-        t0 = time.time()
-        if name == "er_dedup_pipeline":
-            extra["er_dedup_pipeline"] = run_er_pipeline(spark)
-            times[name] = round(extra["er_dedup_pipeline"]["sec"], 3)
-            continue
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        times[name] = round(time.time() - t0, 3)
-        extra[name] = {"rows": n}
+    import gc
+
+    steady: dict[str, float] = {}
+
+    def _release(df) -> None:
         # queries own their internal persists only for the duration of one
         # invocation; drop cached blocks so a long bench session doesn't
         # accumulate eviction pressure (ADVICE r1).  clearCache() frees
@@ -256,11 +259,41 @@ def bench_queries(spark) -> tuple[dict, dict]:
         # refs die, so drop them NOW instead of whenever CPython gets around
         # to it (measured: a later heavy query paid 3x under retained blocks)
         spark.catalog.clearCache()
-        import gc
-
-        df = None
+        del df
         gc.collect()
-    return times, extra
+
+    # two full sweeps.  Sweep 1 (cold — the headline `queries` / `value`,
+    # byte-identical protocol to every prior round) includes this process's
+    # first janino/JIT compile of each query's plan shapes — measured at
+    # ~5 s for the salted-blocking join alone, i.e. most of a heavy query's
+    # sf0.1 time is compile, not execution.  Sweep 2 (steady —
+    # `queries_steady` / `value_steady`) re-runs the identical invocations
+    # with the codegen cache warm: the regime a production job lives in,
+    # where a one-off plan compile amortizes over hours of executor work.
+    # Sweeps are SEQUENTIAL, not interleaved per query — an interleaved
+    # steady pass was measured to inflate later cold timings ~5% (heap /
+    # code-cache pressure), which would break cross-round comparability of
+    # the cold numbers.  Both are reported; neither replaces the other.
+    for sweep, out in (("cold", times), ("steady", steady)):
+        for name in HEADLINE:
+            if name == "er_dedup_pipeline":
+                r = run_er_pipeline(spark)
+                out[name] = round(r["sec"], 3)
+                if sweep == "cold":
+                    extra[name] = r  # same detail shape as prior rounds
+                else:
+                    extra[name]["steady"] = {
+                        k: r[k] for k in ("sec", "scoring_sec", "pairs_per_sec")
+                    }
+                continue
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            n = df.count()
+            out[name] = round(time.time() - t0, 3)
+            if sweep == "cold":
+                extra[name] = {"rows": n}
+            _release(df)
+    return times, extra, steady
 
 
 SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
@@ -1097,7 +1130,7 @@ def main() -> None:
         return
     spark = make_spark(CPUS, "bench")
     spark.sparkContext.setLogLevel("ERROR")
-    times, extra = bench_queries(spark)
+    times, extra, steady = bench_queries(spark)
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     line = {
@@ -1105,6 +1138,13 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        # steady-state (second identical invocation, codegen cache warm):
+        # the production regime — a one-off plan compile amortizes over
+        # hours on a real corpus, so this is the number a 100 TB capacity
+        # estimate should extrapolate from.  `value`/`queries` keep the
+        # cold first-run protocol every prior round recorded.
+        "value_steady": round(sum(steady.values()), 3),
+        "queries_steady": steady,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "detail": extra,
     }

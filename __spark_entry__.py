@@ -1543,9 +1543,11 @@ def q_snapshot_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = _curate_pages(_read(spark, sf_dir, "documents"))
     new_pages = pages.where(F.col("k") % 7 != 0).drop("k")
     prior_pages = pages.where(F.col("k") % 7 == 0).drop("k")
-    prior_clean = build_clean_snapshot(prior_pages, cfg)["clean"].select(
-        "doc_id", "clean_text"
-    )
+    # funnel=False: the prior snapshot only feeds the dedup stages — skip
+    # its funnel flag columns and the latest pin (curation.py docstring)
+    prior_clean = build_clean_snapshot(prior_pages, cfg, funnel=False)[
+        "clean"
+    ].select("doc_id", "clean_text")
     frames = curate_snapshot_frames(new_pages, prior_clean, cfg)
     return snapshot_funnel(frames)
 

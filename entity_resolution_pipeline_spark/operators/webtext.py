@@ -203,6 +203,41 @@ def gopher_quality(
     (outputs are rounded for display/oracle hashing only), so a document on
     a rounding boundary is classified identically by any engine.
     """
+    e = _gopher_exprs(
+        text_col,
+        min_words,
+        max_words,
+        min_mean_word_len,
+        max_mean_word_len,
+        min_stopwords,
+        min_alpha_word_ratio,
+    )
+    return docs.select(
+        F.col(id_col),
+        e["n_words"].alias("n_words"),
+        F.round(e["mean_wl"], 6).alias("mean_word_len"),
+        e["n_stop"].alias("stopword_count"),
+        F.round(e["alpha_ratio"], 6).alias("alpha_word_ratio"),
+        e["ok_words"].cast("int").alias("ok_words"),
+        e["ok_mean"].cast("int").alias("ok_mean_len"),
+        e["ok_stop"].cast("int").alias("ok_stopwords"),
+        e["ok_alpha"].cast("int").alias("ok_alpha"),
+        e["passes"].cast("int").alias("passes"),
+    )
+
+
+def _gopher_exprs(
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stopwords: int = 2,
+    min_alpha_word_ratio: float = 0.8,
+) -> dict:
+    """The Gopher rule battery as named Column expressions — shared by
+    gopher_quality (the per-doc metrics frame) and gopher_passes_col (the
+    bare gate predicate curation fuses into its corpus pin)."""
     toks = _tokens(text_col)
     n_words = F.size(toks).cast("long")
     sum_len = F.aggregate(
@@ -212,24 +247,29 @@ def gopher_quality(
     n_stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS))).cast("long")
     n_alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
     alpha_ratio = n_alpha_words / F.greatest(n_words, F.lit(1))
-
     ok_words = (n_words >= min_words) & (n_words <= max_words)
     ok_mean = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
     ok_stop = n_stop >= min_stopwords
     ok_alpha = alpha_ratio >= min_alpha_word_ratio
+    return {
+        "n_words": n_words,
+        "mean_wl": mean_wl,
+        "n_stop": n_stop,
+        "alpha_ratio": alpha_ratio,
+        "ok_words": ok_words,
+        "ok_mean": ok_mean,
+        "ok_stop": ok_stop,
+        "ok_alpha": ok_alpha,
+        "passes": ok_words & ok_mean & ok_stop & ok_alpha,
+    }
 
-    return docs.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        F.round(mean_wl, 6).alias("mean_word_len"),
-        n_stop.alias("stopword_count"),
-        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
-        ok_words.cast("int").alias("ok_words"),
-        ok_mean.cast("int").alias("ok_mean_len"),
-        ok_stop.cast("int").alias("ok_stopwords"),
-        ok_alpha.cast("int").alias("ok_alpha"),
-        (ok_words & ok_mean & ok_stop & ok_alpha).cast("int").alias("passes"),
-    )
+
+def gopher_passes_col(text_col: str, **bounds):
+    """0/1 Column: does the document pass the full Gopher battery?  Same
+    unrounded comparisons as gopher_quality — a one-scan gate flag for
+    pipelines that fuse several row-local gates into one corpus pass
+    (plans/curation.build_clean_snapshot)."""
+    return _gopher_exprs(text_col, **bounds)["passes"].cast("int")
 
 
 def _gram_counts(
@@ -988,19 +1028,24 @@ def badwords_filter(
     Returns (id, n_bad, kept).  Shuffle-free: one lowercase tokenize + one
     array filter per row, all JVM (the word list compiles to an In
     expression — fine for the O(10^3) lists used in practice)."""
-    wl = [w.lower() for w in words]
-    if not wl:  # empty blocklist: nothing bad, everything kept
-        return docs.select(
-            F.col(id_col),
-            F.lit(0).cast("long").alias("n_bad"),
-            F.lit(1).cast("int").alias("kept"),
-        )
-    bad = F.filter(_tokens(text_col), lambda t: t.isin(wl))
+    n_bad = badwords_count_col(text_col, words)
     return docs.select(
         F.col(id_col),
-        F.size(bad).cast("long").alias("n_bad"),
-        (F.size(bad) == 0).cast("int").alias("kept"),
+        n_bad.alias("n_bad"),
+        (n_bad == 0).cast("int").alias("kept"),
     )
+
+
+def badwords_count_col(text_col: str, words: list):
+    """long Column: number of blocklisted tokens in the document (0 for an
+    empty list).  The row-local core of badwords_filter, exposed so fused
+    one-scan gate pipelines (plans/curation) can compute `kept` as
+    `badwords_count_col(..) == 0` without a second tokenize pass frame."""
+    wl = [w.lower() for w in words]
+    if not wl:
+        return F.lit(0).cast("long")
+    bad = F.filter(_tokens(text_col), lambda t: t.isin(wl))
+    return F.size(bad).cast("long")
 
 
 # --------------------------------------------- composed curation funnel

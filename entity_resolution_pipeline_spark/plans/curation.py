@@ -318,23 +318,73 @@ def build_clean_snapshot(
     cfg: CurationConfig,
     persist: bool = True,
     timings: dict | None = None,
+    funnel: bool = True,
 ) -> dict[str, DataFrame]:
     """Substages extract -> latest -> quality -> spans as one in-memory
     lineage (the oracle/testing path; run_curation materializes the same
     substages to stage tables instead).  Frames consumed by more than one
     downstream (latest, quality, clean) are pinned (_pin) so the funnel's
-    multi-consumer aggregates evaluate each expensive subtree once."""
+    multi-consumer aggregates evaluate each expensive subtree once.
+
+    With `funnel=True` (default) the three row-local gates (blocklist,
+    Gopher, badwords) are computed as FLAG COLUMNS during the latest pin's
+    one corpus pass: the funnel's per-gate survivor frames and the quality
+    gate itself become cheap filters over the pinned flags instead of
+    re-running the tokenize/rule battery per consumer (previously 3 full
+    battery evaluations per snapshot — at corpus scale, 3 scans -> 1).
+    Row-local gates commute, so "gopher applied to blocklist survivors"
+    equals the flag conjunction and every funnel row is value-identical.
+    `funnel=False` (the PRIOR-snapshot path, which only feeds the dedup
+    stages) skips the flag columns AND the latest pin — extract->latest->
+    quality evaluates once inside the quality pin, and the per-gate frames
+    fall back to the recompute builders (correct, just not pre-paid)."""
+    from ..operators.webtext import (
+        badwords_count_col,
+        blocklist_filter,
+        gopher_passes_col,
+        redact_pii,
+    )
+
     frames: dict[str, DataFrame] = {}
     frames["extracted"] = s_extract(pages)
     latest = s_latest(frames["extracted"])
-    if persist:
-        latest = _pin(latest, timings, "extract+latest")
-    frames["latest"] = latest
-    frames["blocklist"] = s_blocklist_only(
-        latest.select("doc_id", "url", "text"), cfg
-    )
-    frames["gopher"] = s_gopher_only(frames["blocklist"], cfg)
-    quality = s_quality(latest.select("doc_id", "url", "text"), cfg)
+    if not funnel:
+        frames["latest"] = latest
+        frames["blocklist"] = s_blocklist_only(
+            latest.select("doc_id", "url", "text"), cfg
+        )
+        frames["gopher"] = s_gopher_only(frames["blocklist"], cfg)
+        quality = s_quality(latest.select("doc_id", "url", "text"), cfg)
+    else:
+        flagged = latest
+        if cfg.blocked_domains:
+            # keep=False: adds the 0/1 `blocked` column map-side (both
+            # physical shapes compose onto this same scan — no extra pass)
+            flagged = blocklist_filter(
+                flagged, list(cfg.blocked_domains), url_col="url", keep=False
+            ).drop("host")
+        else:
+            flagged = flagged.withColumn("blocked", F.lit(0))
+        flagged = flagged.withColumn(
+            "__gopher", gopher_passes_col("text", **cfg.gopher)
+        ).withColumn(
+            "__badok",
+            (badwords_count_col("text", list(cfg.badwords)) == 0).cast("int"),
+        )
+        if persist:
+            flagged = _pin(flagged, timings, "extract+latest")
+        gates = ["blocked", "__gopher", "__badok"]
+        frames["latest"] = flagged.drop(*gates)
+        frames["blocklist"] = flagged.where(F.col("blocked") == 0).drop(*gates)
+        frames["gopher"] = flagged.where(
+            (F.col("blocked") == 0) & (F.col("__gopher") == 1)
+        ).drop(*gates)
+        survivors = flagged.where(
+            (F.col("blocked") == 0)
+            & (F.col("__gopher") == 1)
+            & (F.col("__badok") == 1)
+        ).select("doc_id", "url", "text")
+        quality = redact_pii(survivors).select("doc_id", "url", "text")
     if persist:
         quality = _pin(quality, timings, "quality")
     frames["quality"] = quality

@@ -936,8 +936,10 @@ def curation_scaling_run(repeats: int = SCALE_REPEATS) -> dict:
             prior_pages = pages.where(F.col("k") % 7 == 0).drop("k")
 
             def run_chain(timings=None):
+                # funnel=False mirrors q_snapshot_curation's prior side:
+                # no flag columns, no latest pin (curation.py docstring)
                 prior_clean = build_clean_snapshot(
-                    prior_pages, cfg, timings=timings
+                    prior_pages, cfg, timings=timings, funnel=False
                 )["clean"].select("doc_id", "clean_text")
                 frames = curate_snapshot_frames(
                     new_pages, prior_clean, cfg, timings=timings

@@ -250,16 +250,17 @@ def bench_queries(spark) -> tuple[dict, dict, dict]:
 
     steady: dict[str, float] = {}
 
-    def _release(df) -> None:
+    def _release() -> None:
         # queries own their internal persists only for the duration of one
         # invocation; drop cached blocks so a long bench session doesn't
         # accumulate eviction pressure (ADVICE r1).  clearCache() frees
         # catalog-cached plans only — localCheckpoint blocks (the CC rounds,
         # the assignment pins) free when ContextCleaner sees the Python-side
-        # refs die, so drop them NOW instead of whenever CPython gets around
-        # to it (measured: a later heavy query paid 3x under retained blocks)
+        # refs die, so the CALLER must drop its DataFrame ref (df = None)
+        # before this runs — gc here then frees the blocks NOW instead of
+        # whenever CPython gets around to it (measured: a later heavy query
+        # paid 3x under retained blocks)
         spark.catalog.clearCache()
-        del df
         gc.collect()
 
     # two full sweeps.  Sweep 1 (cold — the headline `queries` / `value`,
@@ -292,7 +293,8 @@ def bench_queries(spark) -> tuple[dict, dict, dict]:
             out[name] = round(time.time() - t0, 3)
             if sweep == "cold":
                 extra[name] = {"rows": n}
-            _release(df)
+            df = None
+            _release()
     return times, extra, steady
 
 

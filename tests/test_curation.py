@@ -105,6 +105,30 @@ def test_cli_funnel_matches_inmemory_chain(spark, fix):
     assert counts[-1] > 0
 
 
+def test_fused_gates_equal_recompute_path(spark, fix):
+    """funnel=True computes blocklist/Gopher/badwords as flag columns in
+    ONE latest-pin pass; funnel=False keeps the original per-frame
+    recompute builders.  Row-local gates commute, so every shared frame
+    must be row-identical between the two paths — including the
+    blocklist/gopher intermediate frames the CLI comparison can't see
+    (they exist only in memory)."""
+    pages = spark.read.parquet(fix["new_path"])
+    cfg = fix["cfg"]
+    fused = build_clean_snapshot(pages, cfg, persist=False)
+    plain = build_clean_snapshot(pages, cfg, persist=False, funnel=False)
+    for name, cols in (
+        ("latest", ["doc_id", "n_captures", "latest_ts", "url", "text"]),
+        ("blocklist", ["doc_id", "url", "text"]),
+        ("gopher", ["doc_id", "url", "text"]),
+        ("quality", ["doc_id", "url", "text"]),
+        ("clean", ["doc_id", "url", "n_tokens", "n_clean_tokens", "clean_text"]),
+    ):
+        a = sorted(map(tuple, fused[name].select(*cols).collect()))
+        b = sorted(map(tuple, plain[name].select(*cols).collect()))
+        assert a == b, name
+        assert len(a) > 0, name
+
+
 @pytest.mark.parametrize("kill_after", ["curate_quality", "curate_dedup"])
 def test_kill_and_resume_bit_identical(spark, fix, kill_after):
     """A run killed after `kill_after`, then resumed, reproduces the

@@ -1147,9 +1147,9 @@ def _quality_roc_sql() -> str:
                                           AND CURRENT ROW) AS fp
                 FROM per),
         tot AS (SELECT sum(pos) AS P, sum(n - pos) AS N FROM per)
-        SELECT bin,
+        SELECT CAST(bin AS BIGINT) AS bin,
                round(bin / 64.0, 6) AS threshold,
-               tp, fp,
+               CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
                round(tp / greatest(P, 1), 6) AS tpr,
                round(fp / greatest(N, 1), 6) AS fpr,
                round(tp / (tp + fp), 6) AS precision
@@ -1608,15 +1608,17 @@ def q_cluster_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering is deliberate: the driver's correctness record covers the
-    # FIRST 50 registry entries, so the ER-core operators and the
-    # webtext/dedup/curation flagships lead (they carry driver-verified
-    # rows); the 22 deferred entries at the tail are the simplest
-    # TPC-H-style aggregations/joins — each already has green driver rows
-    # in CORRECTNESS_r0{1,2,3}.json plus the committed full-sweep artifact
-    # (CORRECTNESS_FULL_r4.json, all 72 vs DuckDB via
-    # tools/check_correctness.py).
-    return {
+    # Returned SORTED BY NAME (see the tail of this function): the external
+    # correctness driver samples a fixed-size window of registry entries, so
+    # any hand-picked ordering would let the builder choose which queries get
+    # independently verified.  Alphabetical order is deterministic and
+    # content-blind — which entries land in the window is a property of their
+    # names, not of curation.  The queries the window misses on any given run
+    # are all covered by the committed full-sweep artifact
+    # (CORRECTNESS_FULL_r*.json, every query vs DuckDB via
+    # tools/check_correctness.py), regenerated each round after the final
+    # source change.
+    registry = {
         # --- ER core (north rule) ---
         "exact_dedup_groups": q_exact_dedup_groups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1672,8 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_curation": q_snapshot_curation,
         "cluster_modularity": q_cluster_modularity,
         "media_features_by_kind": q_media_features_by_kind,
-        # --- deferred past the driver's 50-row window (driver-green in
-        # r1-r3 records; re-verified in CORRECTNESS_FULL_r4.json) ---
+        # --- TPC-H-style aggregations / joins ---
         "distinct_documents": q_distinct_documents,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
@@ -1697,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_counts": q_bigram_counts,
         "json_props_stats": q_json_props_stats,
     }
+    return dict(sorted(registry.items()))
 
 
 # ----------------------------------------------------- oracle SQL generators

@@ -1137,45 +1137,37 @@ def main() -> None:
     times, extra, steady = bench_queries(spark)
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    line = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full record — steady-state sweep (second identical invocation,
+    # codegen cache warm: the regime a 100 TB capacity estimate should
+    # extrapolate from), per-query detail, and the host-noise calibration
+    # ratio vs the committed quiet-window record (see BENCH/BASELINE.md
+    # §noise-band) — goes to BENCH/last_run_full.json and a PRECEDING
+    # stdout line.  The FINAL stdout line is the compact unadorned
+    # cold-protocol record {metric,value,unit,queries,sf}: the external
+    # driver captures only the tail of stdout, and the canonical
+    # machine-readable number must be the measured value with no
+    # calibration context attached (r4's enriched single line outgrew the
+    # driver's window and its embedded record invited substituting the
+    # cached best for the fresh measurement).
+    full = {
         "metric": "headline_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": times,
-        # steady-state (second identical invocation, codegen cache warm):
-        # the production regime — a one-off plan compile amortizes over
-        # hours on a real corpus, so this is the number a 100 TB capacity
-        # estimate should extrapolate from.  `value`/`queries` keep the
-        # cold first-run protocol every prior round recorded.
         "value_steady": round(sum(steady.values()), 3),
         "queries_steady": steady,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
         "detail": extra,
     }
-    # host noise on this box is bursty and inflates a single invocation
-    # 15-25% uniformly (measured; see BENCH/BASELINE.md).  Calibration:
-    # surface the committed quiet-window best-of-3 record alongside this
-    # run, plus the median per-query steady-sweep ratio vs that record —
-    # the workload is its own best noise probe (a dedicated ALU probe was
-    # measured BLIND to this box's noise mode: xxhash-fold probe read
-    # 0.09-0.27 s while the same invocation's queries ran ×1.26 inflated —
-    # the contention hits memory/shuffle bandwidth, not compute; and
-    # idle-steal sampling sees nothing because steal only accrues when
-    # vCPUs demand CPU).  Ratio uses the STEADY sweeps so codegen-compile
-    # variance doesn't pollute it.
     rec_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "BENCH",
-        "headline_r4final_best.json",
+        "headline_quiet_record.json",
     )
     try:
         with open(rec_path) as f:
             rec = json.load(f)
-        line["quiet_window_record"] = {
-            "value": rec.get("value"),
-            "value_steady": rec.get("value_steady"),
-            "file": "BENCH/headline_r4final_best.json",
-        }
         rsteady = rec.get("queries_steady") or {}
         ratios = sorted(
             steady[q] / rsteady[q]
@@ -1183,12 +1175,31 @@ def main() -> None:
             if rsteady.get(q, 0) >= 0.2 and steady[q] > 0
         )
         if ratios:
-            line["quiet_window_record"]["median_steady_ratio_vs_record"] = (
-                round(ratios[len(ratios) // 2], 3)
+            full["median_steady_ratio_vs_quiet_record"] = round(
+                ratios[len(ratios) // 2], 3
             )
+    except (OSError, ValueError, TypeError, KeyError, ZeroDivisionError):
+        pass
+    try:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_run_full.json"
+        )
+        with open(out_path, "w") as f:
+            json.dump(full, f, indent=1)
     except OSError:
         pass
-    print(json.dumps(line))
+    print(json.dumps(full))
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+            }
+        )
+    )
     spark.stop()
 
 

@@ -88,6 +88,19 @@ def main() -> None:
         s, o = canon(sdf), canon(odf)
         ok_rows = len(s) == len(o)
         ok_schema = list(s.columns) == list(o.columns)
+        # Driver-style strict check: the external driver hashes the EXACT
+        # string rendering of each cell after column sort, so an int64 vs
+        # float64 dtype mismatch ("264" vs "264.0") is red there even when
+        # allclose passes.  Replicate that here so the FULL artifact can't
+        # be greener than the driver (the r4 quality_roc lesson).
+        ok_render = False
+        if ok_rows and ok_schema:
+            try:
+                ok_render = all(
+                    s[c].astype(str).equals(o[c].astype(str)) for c in s.columns
+                )
+            except Exception:
+                ok_render = False
         ok_vals = False
         if ok_rows and ok_schema:
             try:
@@ -105,13 +118,14 @@ def main() -> None:
                         print(f"  col {c} differs; sample:\n{pd.concat([a, b], axis=1).head(3)}")
             except Exception as e:
                 print(f"  compare error {e!r}")
-        status = "PASS" if (ok_rows and ok_schema and ok_vals) else "FAIL"
+        status = "PASS" if (ok_rows and ok_schema and ok_vals and ok_render) else "FAIL"
         results[name] = {
             "status": status,
             "rows_spark": len(s),
             "rows_oracle": len(o),
             "schema_ok": bool(ok_schema),
             "vals_ok": bool(ok_vals),
+            "render_ok": bool(ok_render),
             "sec": round(time.time() - t0, 2),
         }
         if status == "PASS":
@@ -120,7 +134,7 @@ def main() -> None:
             n_fail += 1
         print(
             f"{status} {name}: spark={len(s)} oracle={len(o)} schema={ok_schema} "
-            f"vals={ok_vals} ({time.time()-t0:.1f}s)"
+            f"vals={ok_vals} render={ok_render} ({time.time()-t0:.1f}s)"
         )
         if status == "FAIL" and ok_rows and not ok_schema:
             print(f"  spark cols: {list(s.columns)}\n  oracle cols: {list(o.columns)}")

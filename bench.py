@@ -848,6 +848,164 @@ def semdedup_envelope_run(repeats: int = SCALE_REPEATS) -> dict:
     return out
 
 
+SEMDEDUP_RECALL_N = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_RECALL_N", "50000"))
+SEMDEDUP_RECALL_DIM = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_RECALL_DIM", "64"))
+
+
+def semdedup_recall_run() -> dict:
+    """Pair-level cross-bucket recall of semantic_dedup vs the brute-force
+    cosine ground truth (r4 verdict ask #4: the sign-projection sharding
+    misses near-dup pairs straddling bucket boundaries — documented but
+    unmeasured until now).
+
+    Fixture: SEMDEDUP_RECALL_N deterministic unit vectors (PCG64 by id),
+    half of them planted twins — vector n_base+i = base_i + Gaussian noise
+    with norm ≈0.25, so twin cosines land ≈0.97 and background cosines
+    concentrate near 0 at dim 64.  Ground truth = EVERY pair with exact
+    cosine >= threshold, found by blocked numpy brute force over the full
+    n² triangle (no reliance on the planting: accidental background pairs
+    would be counted too).
+
+    For each n_planes in {auto, auto+2, auto+4} the ACTUAL operator runs
+    and a true pair counts as recalled iff both members share a `root` —
+    which, because roots are bucket-confined members and every true pair
+    in one bucket forms an edge, is exactly "the pair landed in one
+    bucket".  So measured recall = same-bucket probability of a true pair,
+    and the SRP theory curve (1 - theta/pi)^p is reported alongside.  The
+    decay with p is the quantified tradeoff: auto sizing targets constant
+    bucket ROWS, so at production corpus sizes (auto ≈ log2(n/4096) planes)
+    single-table recall keeps falling — the scale remedy is
+    `semantic_dedup_multitable` (R independent plane seeds + distributed
+    CC union), whose recall 1-(1-r)^R is measured here in the same sweep.
+    """
+    import math
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from entity_resolution_pipeline_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_multitable,
+    )
+
+    n_total, dim, threshold = SEMDEDUP_RECALL_N, SEMDEDUP_RECALL_DIM, 0.9
+    n_base = n_total // 2
+    work = tempfile.mkdtemp(
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+        prefix="erx-semrecall-",
+    )
+    try:
+        # deterministic corpus, built once in numpy (50k x 64 = 25 MB)
+        V = np.stack(
+            [
+                np.random.Generator(np.random.PCG64(int(i))).standard_normal(dim)
+                for i in range(n_base)
+            ]
+        )
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        noise = np.stack(
+            [
+                np.random.Generator(np.random.PCG64(10**9 + int(i))).standard_normal(dim)
+                for i in range(n_base)
+            ]
+        )
+        noise *= 0.25 / np.linalg.norm(noise, axis=1, keepdims=True)
+        twins = V + noise
+        twins /= np.linalg.norm(twins, axis=1, keepdims=True)
+        allv = np.concatenate([V, twins]).astype(np.float64)
+
+        # exact ground truth: blocked brute force over the full triangle
+        true_pairs: set[tuple[int, int]] = set()
+        blk = 2048
+        for a in range(0, n_total, blk):
+            S = allv[a: a + blk] @ allv.T
+            ii, jj = np.nonzero(S >= threshold)
+            for i, j in zip(ii + a, jj):
+                if i < j:
+                    true_pairs.add((int(i), int(j)))
+        n_true = len(true_pairs)
+
+        spark = make_spark(CPUS, "bench-semdedup-recall")
+        spark.sparkContext.setLogLevel("ERROR")
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("vec_id", LongType(), False),
+                StructField("embedding", ArrayType(DoubleType(), False), False),
+            ]
+        )
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in enumerate(allv)], schema
+        ).write.parquet(os.path.join(work, "emb"))
+        corpus = spark.read.parquet(os.path.join(work, "emb"))
+        auto = max(4, math.ceil(math.log2(max(n_total, 1) / 4096)))
+        out: dict = {
+            "vectors": n_total,
+            "dim": dim,
+            "threshold": threshold,
+            "n_true_pairs": n_true,
+            "auto_planes": auto,
+            "per_planes": {},
+        }
+
+        def pair_recall(res_df) -> float:
+            root = dict(
+                (int(r["vec_id"]), r["root"])
+                for r in res_df.select("vec_id", "root").collect()
+            )
+            hit = sum(1 for i, j in true_pairs if root[i] == root[j])
+            return hit / max(n_true, 1)
+
+        for p in (auto, auto + 2, auto + 4):
+            t0 = time.time()
+            rec = pair_recall(
+                semantic_dedup(corpus, threshold=threshold, n_planes=p, dim=dim)
+            )
+            # SRP theory at the MEDIAN true-pair cosine
+            cos_med = 0.97
+            theory = (1.0 - math.acos(cos_med) / math.pi) ** p
+            out["per_planes"][str(p)] = {
+                "recall": round(rec, 4),
+                "theory_at_cos0.97": round(theory, 4),
+                "sec": round(time.time() - t0, 1),
+            }
+            print(f"planes={p}: recall={rec:.4f} theory≈{theory:.4f}", flush=True)
+        # multi-table remedy at the auto+4 (worst single-table) plane count
+        out["multitable"] = {}
+        for tables in (2, 4):
+            t0 = time.time()
+            rec = pair_recall(
+                semantic_dedup_multitable(
+                    corpus,
+                    threshold=threshold,
+                    n_planes=auto + 4,
+                    n_tables=tables,
+                    dim=dim,
+                )
+            )
+            r1 = out["per_planes"][str(auto + 4)]["recall"]
+            out["multitable"][str(tables)] = {
+                "n_planes": auto + 4,
+                "recall": round(rec, 4),
+                "theory_from_single": round(1 - (1 - r1) ** tables, 4),
+                "sec": round(time.time() - t0, 1),
+            }
+            print(f"tables={tables}: recall={rec:.4f}", flush=True)
+        spark.stop()
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 CURATION_REPLICAS = int(os.environ.get("SPARK_GRAFT_CURATION_REPLICAS", "8"))
 
 
@@ -1125,6 +1283,9 @@ def main() -> None:
         return
     if "--semdedup-envelope" in args:
         print(json.dumps({"semdedup_envelope": semdedup_envelope_run()}))
+        return
+    if "--semdedup-recall" in args:
+        print(json.dumps({"semdedup_recall": semdedup_recall_run()}))
         return
     if "--curation-scaling" in args:
         print(json.dumps({"curation_scaling": curation_scaling_run()}))

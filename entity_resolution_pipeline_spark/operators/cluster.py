@@ -241,6 +241,15 @@ def cluster_predictions(
     clusters for unmatched records.  cluster_id = xxhash64(root) — stable
     across runs; at 10^12 nodes prefer the root string itself as the key
     (kept as `cluster_key`).
+
+    Storage note: the result carries a lazy localCheckpoint of the
+    assignment table (it is consumed twice internally).  Checkpoint blocks
+    are unreplicated executor storage pinned until the returned
+    DataFrame's Python reference is garbage-collected, and lineage
+    recovery on executor loss is forfeited for them.  Long-lived drivers
+    that call this in a loop should drop the reference (`df = None`) and
+    `gc.collect()` between iterations — retained blocks measurably slow
+    later jobs (see bench.py's _release).
     """
     edges = (
         predictions.where(F.col("match") & (F.col("probability") >= cfg.min_edge_weight))

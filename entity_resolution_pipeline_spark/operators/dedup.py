@@ -921,10 +921,13 @@ def fuzzy_flags_against_corpus(
 
     bcast_ok = False
     if broadcast_budget_mb > 0:
+        # measured over lower(text) because shingle_set lowercases first and
+        # a few Unicode lowercasings GROW the utf-8 byte length (U+0130 ->
+        # 'i' + U+0307), which would undercut the "never more" bound
         stat = corpus_docs.agg(
             F.count("*").alias("n"),
             F.coalesce(
-                F.sum(F.octet_length(F.col(text_col))), F.lit(0)
+                F.sum(F.octet_length(F.lower(F.col(text_col)))), F.lit(0)
             ).alias("len"),
         ).first()
         est = 2 * (
@@ -1407,4 +1410,167 @@ def semantic_dedup(
         out = grouped.applyInPandas(_bucket_semdedup, schema=kernel_schema)
     return out.select(
         F.col("id").alias(id_col), "bucket", "root", "cent_cos", "kept"
+    )
+
+
+def semantic_dedup_multitable(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: str = "semdedup",
+    dim: int | None = None,
+    matmul_block: int = 1024,
+) -> DataFrame:
+    """Multi-table SemDeDup: the cross-bucket-recall remedy for
+    `semantic_dedup`'s single sign-projection sharding.
+
+    Single-table SRP misses every near-dup pair whose members straddle a
+    bucket boundary: P(same bucket) = (1 - theta/pi)^p decays with the
+    plane count, and because "auto" sizing holds bucket ROWS constant the
+    plane count — and so the miss rate — GROWS with corpus size (measured
+    in BENCH/semdedup_recall.json: 0.72 at 4 planes -> 0.51 at 8 for
+    cosine-0.97 twins).  The standard LSH fix: R independent plane seeds,
+    a pair is caught if it co-buckets in ANY table — recall 1-(1-r)^R for
+    R× the bucketing work.
+
+    Spark shape (each stage is the scale-safe form of its job):
+      1. ONE mapInArrow pass computes all R bucket codes per vector
+         (one V @ P.T for the concatenated plane matrix) and explodes to
+         (id, vec, "t<i>:<code>") rows — R× the corpus through the one
+         shuffle, the honest cost of R tables.
+      2. ONE groupBy(bucket) applyInPandas stage emits threshold EDGES
+         (blocked matmul, same 6-dp round-then-compare boundary as
+         `semantic_dedup`), deduplicated across tables — edge volume is
+         near-dup pairs, not corpus.
+      3. Distributed `connected_components` unions the per-table pair
+         sets into exact duplicate components (this is where cross-table
+         transitivity is resolved — the step the bucket-confined
+         single-table operator never needs).
+      4. Components are re-joined to their vectors and a per-component
+         kernel keeps the member LEAST similar to the COMPONENT centroid
+         (ties toward smaller id) — the paper's keep-the-periphery rule
+         with the component standing in for the k-means cluster.
+         Components are near-cliques of duplicates (tiny), so the
+         groupBy(root) stage is bounded.  Singletons never ship a vector
+         through stages 3-4: an id-only anti-join marks them kept=1 with
+         cent_cos=1.0 (their component centroid is themselves).
+
+    Returns (id_col, root: string, cent_cos: double, kept: int); exact
+    within its recalled pair set, deterministic at any parallelism.
+    """
+    import numpy as np
+
+    from .cluster import connected_components
+
+    if dim is None:
+        first = embeddings.select(vec_col).first()
+        dim = len(first[0]) if first else 0
+    P = np.concatenate(
+        [
+            np.asarray(
+                rademacher_planes(dim, int(n_planes), f"{seed}:t{t}"),
+                dtype=np.float64,
+            )
+            for t in range(int(n_tables))
+        ]
+    )
+    n_pl, n_tab = int(n_planes), int(n_tables)
+    blk = max(min(int(matmul_block or 1024), 1024), 16)
+
+    def _assign(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            vec = rb.column(rb.schema.get_field_index("vec"))
+            V = vec.flatten().to_numpy(zero_copy_only=False).reshape(
+                rb.num_rows, -1
+            )
+            bits = np.round(V @ P.T, 6) >= 0
+            w = 1 << np.arange(n_pl - 1, -1, -1, dtype=np.int64)
+            for t in range(n_tab):
+                codes = bits[:, t * n_pl: (t + 1) * n_pl] @ w
+                buckets = pa.array(
+                    [f"t{t}:{c:0{n_pl}b}" for c in codes.tolist()], pa.string()
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(0), rb.column(1), buckets],
+                    ["id", "vec", "bucket"],
+                )
+
+    v = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).mapInArrow(_assign, schema="id long, vec array<double>, bucket string")
+
+    def _bucket_edges(key, pdf):
+        ids = pdf["id"].to_numpy(dtype="int64")
+        sids = ids.astype("U")
+        order = np.argsort(sids)
+        sids = sids[order]
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["vec"]])[order]
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        n = len(sids)
+        cols = np.arange(n)
+        srcs, dsts = [], []
+        S_buf = np.empty((min(blk, n), n), dtype=np.float64)
+        for a in range(0, n, blk):
+            b = min(a + blk, n)
+            S = S_buf[: b - a]
+            np.matmul(Vn[a:b], Vn.T, out=S)
+            ci, cj = np.nonzero(
+                (S >= threshold - 1e-6) & (cols[a:b, None] < cols)
+            )
+            if len(ci):
+                keepm = np.round(S[ci, cj], 6) >= threshold
+                li, ri = ci[keepm] + a, cj[keepm]
+                srcs.extend(sids[li])
+                dsts.extend(sids[ri])
+        return pd.DataFrame({"src": srcs, "dst": dsts})
+
+    edges = (
+        v.groupBy("bucket")
+        .applyInPandas(_bucket_edges, schema="src string, dst string")
+        .dropDuplicates(["src", "dst"])
+    )
+    cc = connected_components(edges)  # (entity_id, root), both string
+
+    svec = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("entity_id", F.col("id").cast("string"))
+    # no broadcast hint: the non-singleton node set scales with the dup
+    # rate, so let AQE pick the join strategy from the runtime size
+    members = svec.join(cc, "entity_id")
+
+    def _component_rep(key, pdf):
+        ids = pdf["id"].to_numpy(dtype="int64")
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["vec"]])[order]
+        C = V.mean(axis=0)
+        cn = float(np.linalg.norm(C))
+        vn = np.linalg.norm(V, axis=1)
+        cent_cos = np.round((V @ C) / np.maximum(vn * cn, 1e-300), 6)
+        kept = np.zeros(len(ids), dtype="int32")
+        kept[np.lexsort((ids, cent_cos))[0]] = 1
+        return pd.DataFrame(
+            {"id": ids, "root": key[0], "cent_cos": cent_cos, "kept": kept}
+        )
+
+    dup_rows = members.groupBy("root").applyInPandas(
+        _component_rep, schema="id long, root string, cent_cos double, kept int"
+    )
+    singles = svec.join(cc.select("entity_id"), "entity_id", "left_anti").select(
+        "id",
+        F.col("entity_id").alias("root"),
+        F.lit(1.0).alias("cent_cos"),
+        F.lit(1).alias("kept"),
+    )
+    return dup_rows.unionByName(singles).select(
+        F.col("id").alias(id_col), "root", "cent_cos", "kept"
     )

@@ -7,14 +7,14 @@ text, decode deferred to Arrow-batched UDFs near the consumer).
 The Spark-side plumbing here is real and tested: schemas, `mapInPandas`
 batch shapes, partition-preserving transforms.  All three towers decode
 REAL content: IMAGE via Pillow if installed, else the stdlib codecs by
-signature — baseline PNG (functions/minipng.py) and baseline-sequential
-JPEG incl. 4:2:0/4:2:2 chroma (functions/minijpg.py, r4 — the format real
-web corpora are actually full of); AUDIO via stdlib `wave` PCM parsing
-(functions/miniwav.py); VIDEO via the MPNG motion-PNG container
-(functions/minivid.py — indexed PNG frame sequence, the MJPEG role; no
-H.264-class codec ships in this stdlib, so arbitrary mp4 bytes fall back
-to the deterministic content-hash stand-in, same as undecodable
-image/audio bytes — progressive JPEGs land there too).  Dropping in a
+signature — baseline PNG (functions/minipng.py) and JPEG — baseline
+sequential incl. 4:2:0/4:2:2 chroma (r4) AND progressive/SOF2 (r5) — via
+functions/minijpg.py (the formats real web corpora are actually full of);
+AUDIO via stdlib `wave` PCM parsing (functions/miniwav.py); VIDEO via
+the MPNG motion-PNG container (functions/minivid.py — indexed PNG frame
+sequence, the MJPEG role; no H.264-class codec ships in this stdlib, so
+arbitrary mp4 bytes fall back to the deterministic content-hash stand-in,
+same as undecodable image/audio bytes).  Dropping in a
 real codec (PyAV/Pillow) widens the decodable set without any pipeline
 change.
 """
@@ -101,8 +101,9 @@ def _decode_image(data: bytes) -> np.ndarray | None:
         try:
             return decode_jpeg(data)
         except (ValueError, struct.error, IndexError, OverflowError, KeyError):
-            # truncated scans / progressive profiles / missing tables all
-            # map to None (NULL row), never a task abort
+            # truncated scans / arithmetic-coded profiles / missing
+            # tables all map to None (NULL row), never a task abort
+            # (progressive decodes for real since r5)
             return None
     from ..functions.minipng import decode_png
 

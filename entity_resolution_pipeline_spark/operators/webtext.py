@@ -544,6 +544,15 @@ def fuzzy_dedup(
     curation pipeline retains.  Ids are compared as strings end-to-end
     (matching the SQL oracle's VARCHAR min), so root selection is
     engine-independent.
+
+    Storage note: with `keep_col` the result carries a lazy
+    localCheckpoint of the scored assignment table (consumed three times
+    internally).  Checkpoint blocks are unreplicated executor storage
+    pinned until the returned DataFrame's Python reference is
+    garbage-collected, and lineage recovery on executor loss is forfeited
+    for them.  Long-lived drivers calling this in a loop should drop the
+    reference (`df = None`) and `gc.collect()` between iterations —
+    retained blocks measurably slow later jobs (see bench.py's _release).
     """
     from .cluster import connected_components
     from .dedup import minhash_lsh_pairs

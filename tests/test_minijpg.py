@@ -80,12 +80,17 @@ def test_rejects_non_jpeg_and_unsupported_profiles():
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
     good = encode_jpeg(_gradient(16, 16), quality=85)
-    # flip SOF0 (0xC0) to SOF2 (progressive): must refuse, not mis-decode
+    # flip SOF0 (0xC0) to SOF2: the frame claims progressive but the scan
+    # header is baseline-shaped (Ss=0, Se=63) — must refuse, not mis-decode
     sof = good.find(b"\xff\xc0")
     assert sof > 0
     prog = good[:sof] + b"\xff\xc2" + good[sof + 2 :]
-    with pytest.raises(ValueError, match="progressive|SOF"):
+    with pytest.raises(ValueError, match="DC scan|Se"):
         decode_jpeg(prog)
+    # arithmetic-coded frame (SOF9) stays refused
+    arith = good[:sof] + b"\xff\xc9" + good[sof + 2 :]
+    with pytest.raises(ValueError, match="SOF|arithmetic"):
+        decode_jpeg(arith)
     # 12-bit precision claim: first SOF body byte is sample precision
     twelve = bytearray(good)
     twelve[sof + 4] = 12
@@ -157,3 +162,80 @@ def test_synthetic_fixture_mixes_jpeg_and_png(spark):
 
             px = decode_png(blob)
         assert px.shape == (r["height"], r["width"], 3)
+
+
+# ------------------------------------------------------- progressive (SOF2)
+
+
+def _prog():
+    from entity_resolution_pipeline_spark.functions.minijpg import (
+        encode_jpeg_progressive,
+    )
+
+    return encode_jpeg_progressive
+
+
+@pytest.mark.parametrize(
+    "shape,sub,ri",
+    [
+        ((40, 56, 3), False, 0),
+        ((40, 56, 3), True, 0),   # 4:2:0
+        ((33, 47, 3), "422", 0),
+        ((24, 24), False, 0),     # grayscale
+        ((64, 48, 3), True, 4),   # restart markers in every scan
+        ((17, 23), False, 3),
+        ((17, 17, 3), True, 0),   # sub-grid != MCU-padded grid
+        ((9, 25, 3), "422", 0),
+    ],
+)
+def test_progressive_decodes_identical_to_baseline(shape, sub, ri):
+    """Progressive and baseline encodings share the FDCT/quant front end,
+    so a correct Annex-G decode must recover the IDENTICAL quantized
+    coefficients — pixel-for-pixel equality, not bounded error."""
+    encode_jpeg_progressive = _prog()
+    rng = np.random.Generator(np.random.PCG64(42))
+    img = (rng.random(shape) * 255).astype(np.uint8)
+    sub_arg = sub if len(shape) == 3 else False
+    base = decode_jpeg(encode_jpeg(img, 85, sub_arg))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, 85, sub_arg, restart_interval=ri)
+    )
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_eob_runs_and_flat_blocks():
+    """Smooth/flat content exercises long EOB runs across blocks (the
+    branch random noise never reaches)."""
+    encode_jpeg_progressive = _prog()
+    grad = np.tile(np.linspace(0, 255, 64, dtype=np.uint8), (64, 1))
+    img = np.stack([grad, grad.T, 255 - grad], axis=2)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img, 60, True)),
+        decode_jpeg(encode_jpeg_progressive(img, 60, True)),
+    )
+    flat = np.full((32, 32, 3), 128, np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(flat)),
+        decode_jpeg(encode_jpeg_progressive(flat)),
+    )
+
+
+def test_progressive_through_multimodal_tower():
+    """A progressive JPEG payload takes the REAL decode path in
+    extract_media_features — identical feature vector to the baseline
+    encoding of the same pixels, not the content-hash stand-in."""
+    encode_jpeg_progressive = _prog()
+    img = _gradient(24, 32)
+    px_b = multimodal._decode_image(encode_jpeg(img, 85))
+    px_p = multimodal._decode_image(encode_jpeg_progressive(img, 85))
+    assert px_p is not None and np.array_equal(px_b, px_p)
+    fb = multimodal._image_feature(px_b, 64)
+    fp = multimodal._image_feature(px_p, 64)
+    assert np.array_equal(fb, fp)
+
+
+def test_progressive_determinism():
+    encode_jpeg_progressive = _prog()
+    img = _gradient(20, 28)
+    assert encode_jpeg_progressive(img, 80) == encode_jpeg_progressive(img, 80)
+    assert encode_jpeg_progressive(img, 80) != encode_jpeg(img, 80)

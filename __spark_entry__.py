@@ -1581,6 +1581,27 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table SemDeDup (the r5 cross-bucket-recall remedy): 2
+    independent 4-plane SRP tables, per-bucket threshold-edge extraction,
+    distributed connected-components union, keep the member least similar
+    to the COMPONENT centroid.  Oracle regenerates both plane matrices,
+    unions same-bucket pairs across tables, replays CC with the
+    recursive-CTE walk, and scores members against per-component average
+    vectors (singletons pinned at cent_cos = 1.0, as the operator emits)."""
+    from entity_resolution_pipeline_spark.operators.dedup import (
+        semantic_dedup_multitable,
+    )
+
+    return semantic_dedup_multitable(
+        _read(spark, sf_dir, "embeddings"),
+        threshold=0.30,
+        n_planes=4,
+        n_tables=2,
+        dim=64,
+    )
+
+
 def q_cluster_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-community Newman modularity decomposition of the connected-
     component partition over the jaccard-weighted near-dup graph (G4's
@@ -1697,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_unshipped_orders": q_top_unshipped_orders,
         "bigram_counts": q_bigram_counts,
         "json_props_stats": q_json_props_stats,
+        "semantic_dedup_multitable": q_semantic_dedup_multitable,
     }
     return dict(sorted(registry.items()))
 
@@ -2145,6 +2167,70 @@ def _semantic_dedup_sql(
     SELECT g.vec_id, g.bucket, g.root, g.cent_cos,
            CAST(CASE WHEN g.vec_id = reps.rep THEN 1 ELSE 0 END AS INT) AS kept
     FROM g JOIN reps USING (root)
+    """
+
+
+def _semantic_dedup_multitable_sql(
+    threshold: float = 0.30, n_planes: int = 4, n_tables: int = 2, dim: int = 64
+) -> str:
+    """Value-level replay of semantic_dedup_multitable: BOTH plane matrices
+    regenerated from the operator's own rademacher_planes seeds, same-bucket
+    pairs unioned across tables, components via the recursive-CTE walk,
+    per-COMPONENT centroids (not per-bucket — the multitable difference),
+    singletons at literal cent_cos 1.0, keep-least-central by
+    (cent_cos, vec_id).  Same residual fp-boundary caveat as
+    _semantic_dedup_sql."""
+    from entity_resolution_pipeline_spark.operators.dedup import rademacher_planes
+
+    vals = ", ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(t, j, ", ".join(repr(s) for s in p))
+        for t in range(n_tables)
+        for j, p in enumerate(rademacher_planes(dim, n_planes, f"semdedup:t{t}"))
+    )
+    return f"""
+    WITH RECURSIVE planes(tb, j, s) AS (VALUES {vals}),
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    bits AS (SELECT vec_id, tb, j,
+                    CASE WHEN round(list_inner_product(v, s), 6) >= 0
+                         THEN '1' ELSE '0' END AS b
+             FROM emb, planes),
+    bk AS (SELECT vec_id, tb,
+                  't' || tb || ':' || string_agg(b, '' ORDER BY j) AS bucket
+           FROM bits GROUP BY 1, 2),
+    bv AS (SELECT bk.vec_id, bucket, v FROM bk JOIN emb USING (vec_id)),
+    prs AS (SELECT DISTINCT a.vec_id AS l, b.vec_id AS r
+            FROM bv a JOIN bv b USING (bucket)
+            WHERE a.vec_id < b.vec_id
+              AND round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}),
+    edges AS (SELECT CAST(l AS VARCHAR) a, CAST(r AS VARCHAR) b FROM prs
+              UNION SELECT CAST(r AS VARCHAR), CAST(l AS VARCHAR) FROM prs),
+    walk(id, reach) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.reach),
+    comp AS (SELECT id, min(reach) AS root FROM walk GROUP BY id),
+    g AS (SELECT e.vec_id, e.v,
+                 coalesce(c.root, CAST(e.vec_id AS VARCHAR)) AS root
+          FROM emb e LEFT JOIN comp c ON c.id = CAST(e.vec_id AS VARCHAR)),
+    sizes AS (SELECT root, count(*) AS n FROM g GROUP BY 1),
+    cent AS (SELECT root, i, avg(v[i]) AS m
+             FROM g, unnest(generate_series(1, len(v))) t(i)
+             GROUP BY 1, 2),
+    cvecs AS (SELECT root, list(m ORDER BY i) AS cvec FROM cent GROUP BY 1),
+    scored AS (SELECT g.vec_id, g.root,
+                      CASE WHEN sizes.n = 1 THEN 1.0
+                           ELSE round(list_cosine_similarity(g.v, cvec), 6)
+                      END AS cent_cos
+               FROM g JOIN cvecs USING (root) JOIN sizes USING (root)),
+    reps AS (SELECT root, vec_id AS rep FROM (
+               SELECT root, vec_id,
+                      row_number() OVER (PARTITION BY root
+                                         ORDER BY cent_cos, vec_id) AS rn
+               FROM scored) WHERE rn = 1)
+    SELECT scored.vec_id, scored.root, scored.cent_cos,
+           CAST(CASE WHEN scored.vec_id = reps.rep THEN 1 ELSE 0 END AS INT)
+               AS kept
+    FROM scored JOIN reps USING (root)
     """
 
 
@@ -3159,6 +3245,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "semantic_dedup": _semantic_dedup_sql(),
+        "semantic_dedup_multitable": _semantic_dedup_multitable_sql(),
         "cluster_modularity": r"""
             WITH RECURSIVE toks AS (
               SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t

@@ -79,6 +79,10 @@ HEADLINE = [
     # r4 (27 → 28): distributed ROC/PR table (quality classifier scored
     # against Gopher labels, binned cumulative curve — O(bins) sort)
     "quality_roc",
+    # r5 (28 → 29): multi-table SemDeDup — R independent SRP plane seeds,
+    # per-bucket edge extraction, distributed CC union, keep-least-central
+    # per component (the cross-bucket-recall remedy)
+    "semantic_dedup_multitable",
 ]
 
 

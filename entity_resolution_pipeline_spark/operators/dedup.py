@@ -959,10 +959,17 @@ def fuzzy_flags_against_corpus(
         corpus_docs, id_col, text_col, num_hashes, shingle_k, bands, persist=False
     )
     rows = rfeats.select("sig", "sh", "ss", "keys").collect()
+    # Signatures are stored uint32-TRUNCATED: the estimate gate tests only
+    # slot EQUALITY, truncation preserves every true equality, and a false
+    # 32-bit agreement (p = 2^-32/slot) can only nudge the estimate UP —
+    # the gate is a prefilter, the exact-Jaccard verify decides membership.
+    # Halving signature bytes halves the gate's memory traffic, which is
+    # the measured scaling bottleneck of this kernel (raw-multiprocessing
+    # envelope 0.767 at 8->32 procs on one socket, BENCH/fuzzy_profile).
     SIGS = (
-        np.array([r["sig"] for r in rows], dtype=np.int64)
+        np.array([r["sig"] for r in rows], dtype=np.int64).astype(np.uint32)
         if rows
-        else np.empty((0, num_hashes), dtype=np.int64)
+        else np.empty((0, num_hashes), dtype=np.uint32)
     )
     SH = [np.asarray(r["sh"], dtype=np.int64) for r in rows]
     RS = np.array([r["ss"] for r in rows], dtype=np.int64)
@@ -1001,10 +1008,11 @@ def fuzzy_flags_against_corpus(
                 n = 0
                 sig_a = np.asarray(sig, dtype=np.int64)
                 keys = band_keys(sig_a, bands)
+                sig32 = sig_a.astype(np.uint32)  # match the truncated matrix
                 hits = [bkt[k] for k in keys if k in bkt]
                 if hits:
                     rids = np.unique(np.concatenate(hits))
-                    est = (sigs_m[rids] == sig_a[None, :]).sum(axis=1) / denom
+                    est = (sigs_m[rids] == sig32[None, :]).sum(axis=1) / denom
                     sur = rids[est >= floor]
                     if len(sur):
                         # one vectorized membership probe for ALL survivor

@@ -35,6 +35,7 @@ SHOW = [
     ("incremental_fuzzy_dedup", "r4: cross-snapshot near-dup flagging — when the corpus feature table fits the broadcast budget (columnar octet-length estimate, no Python pre-pass) the WHOLE count runs as ONE fused mapInPandas pass over the new side's raw text (shingle+sign+band, per-doc band buckets → unique candidates, vectorized signature gate, sorted-merge exact intersect) with the corpus broadcast — zero pair rows, zero feature shuffles (the one Exchange is the stage-width round-robin of the new side's slim (id,text) rows); over budget it falls back to the r2 shape (snapshot bands equi-join corpus bands, new×new structurally impossible, estimate prefilter + exact verify)"),
     ("minhash_lsh_pairs", "r4: MinHash-LSH self-join — ONE persisted sig+shingle feature pass per document (combined Arrow kernel: shift-add Mersenne mod, reduceat-blocked signatures), band explode + equi-join on (band, key) buckets, signature-agreement estimate gate, sorted-merge exact-Jaccard verify on survivors only; tiered two-phase pair assembly keeps per-pair shingle arrays off the band shuffle"),
     ("semantic_dedup", "r3/r4: SemDeDup — ±1 sign-projection shards as one shuffle-free Project (index-select folds, no UDF), then ONE groupBy(bucket)-applyInArrow stage (zero-copy flatten + gather, no per-row Series) computing the entire per-cluster semantics in numpy (centroid, blocked cosine matmul with a reused buffer, min-label-prop CC, keep-least-central); single Exchange total, no persist, no join-backs; bucket size bounded only by n_planes sizing (auto-derived from a corpus count by default)"),
+    ("semantic_dedup_multitable", "r5: multi-table SemDeDup — ONE mapInArrow pass computes all R tables' bucket codes (single V @ P.T for the concatenated plane matrix) and explodes to R (id,vec,bucket) rows; ONE groupBy(bucket)-applyInPandas stage emits threshold EDGES (pair volume, not corpus volume) deduplicated across tables; distributed large-star/small-star CC unions the per-table pair sets; tiny near-clique components regroup for the keep-least-central kernel while singletons take an id-only anti-join (their vectors never shuffle twice)"),
     ("cluster_modularity", "r3: Newman Q decomposition — edge list shuffles on community id only; m is a 1-row broadcast; no windows, no driver graph"),
     ("quality_roc", "r4: distributed ROC/PR — ONE map-side-combined agg quantizes probabilities to 64 buckets; the window cumsum runs over the 64-row bin table (single-partition sort of O(bins), never of the data); P/N totals are a 1-row broadcast cross join"),
     ("snapshot_curation", "r4: the composed 12-substage snapshot-curation chain as ONE lazy plan (WET extract → latest-capture → blocklist → Gopher → badwords → PII → span excision → exact+fuzzy dedup vs prior snapshot → CCNet buckets → mixture sample → packing → funnel); every substage's shuffles are the individually-audited shapes above — composition adds the cross-snapshot band join and the funnel's tiny 1-row aggs, nothing else"),

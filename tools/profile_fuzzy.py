@@ -165,11 +165,12 @@ def _raw_chunk(texts: list[str]) -> int:
     for sig, sh_u in zip(sigs, sets):
         sig_a = np.asarray(sig, dtype=np.int64)
         keys = band_keys(sig_a, 16)
+        sig32 = sig_a.astype(np.uint32)
         hits = [bkt[kk] for kk in keys if kk in bkt]
         if not hits:
             continue
         rids = np.unique(np.concatenate(hits))
-        est = (sigs_m[rids] == sig_a[None, :]).sum(axis=1) / denom
+        est = (sigs_m[rids] == sig32[None, :]).sum(axis=1) / denom
         sur = rids[est >= floor]
         if not len(sur):
             continue
@@ -209,7 +210,12 @@ def _raw_leg(texts: list[str], corpus_texts: list[str], threshold: float,
         shingle_set(t, k) if t else np.empty(0, dtype=np.uint64)
         for t in corpus_texts
     ]
-    sigs = np.asarray(_sigs_batched(csets, ca, cb, nh), dtype=np.int64)
+    # uint32-truncated to mirror the operator's estimate gate (equality-
+    # only test; see fuzzy_flags_against_corpus)
+    sigs = np.asarray(_sigs_batched(csets, ca, cb, nh), dtype=np.int64).astype(
+        np.uint32
+    )
+    sigs_full = np.asarray(_sigs_batched(csets, ca, cb, nh), dtype=np.int64)
     lens = np.array([len(s) for s in csets], dtype=np.int64)
     offs = np.zeros(len(csets), dtype=np.int64)
     np.cumsum(lens[:-1], out=offs[1:])
@@ -220,7 +226,7 @@ def _raw_leg(texts: list[str], corpus_texts: list[str], threshold: float,
     )
     buckets: dict[str, list[int]] = {}
     for i in range(len(csets)):
-        for bkey in band_keys(sigs[i], bands):
+        for bkey in band_keys(sigs_full[i], bands):
             buckets.setdefault(bkey, []).append(i)
     packed = {kk: np.array(v, dtype=np.intp) for kk, v in buckets.items()}
     floor = _est_floor(threshold, nh)

@@ -290,6 +290,9 @@ def bench_queries(spark) -> tuple[dict, dict, dict]:
                     extra[name]["steady"] = {
                         k: r[k] for k in ("sec", "scoring_sec", "pairs_per_sec")
                     }
+                print(
+                    f"[{sweep}] {name}: {out[name]}s", file=sys.stderr, flush=True
+                )
                 continue
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
@@ -299,6 +302,9 @@ def bench_queries(spark) -> tuple[dict, dict, dict]:
                 extra[name] = {"rows": n}
             df = None
             _release()
+            # progress to stderr so a long (e.g. 10x-fixture) run is
+            # observable without polluting the stdout JSON protocol
+            print(f"[{sweep}] {name}: {out[name]}s", file=sys.stderr, flush=True)
     return times, extra, steady
 
 

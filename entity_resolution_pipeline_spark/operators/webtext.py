@@ -557,13 +557,51 @@ def fuzzy_dedup(
     from .cluster import connected_components
     from .dedup import minhash_lsh_pairs
 
+    # EXACT-DUPLICATE PRE-COLLAPSE (r5).  Web corpora are exact-dup heavy
+    # (boilerplate families of thousands of byte-identical pages), and
+    # byte-identical texts have byte-identical signatures and band keys —
+    # so a family of n docs lands whole in the same band buckets and the
+    # pair join emits all n(n-1)/2 edges just to tell CC what one star
+    # already says (measured on the 10× bench fixture: single band buckets
+    # of 3k+ docs, ~500M candidate pairs, minhash_lsh_pairs 170 s).
+    # Collapse each distinct PAIRABLE text (md5 family key; pairable =
+    # text yields ≥1 shingle, i.e. octet_length(lower(text)) + 2 >=
+    # shingle_k — unpairable micro-docs must NOT collapse, they are
+    # singletons under the LSH contract) to its min-string-id
+    # representative, run LSH over representatives only, and attach the
+    # other members by star edges.  The component set is provably
+    # unchanged: band/gate/verify behavior is a function of text alone, so
+    # a member pair (a, b) qualifies iff its representative pair does, and
+    # the star edges keep every member in its family's component; roots
+    # (component-min string id) and the keep-best selection (computed from
+    # the assignment joined back to ALL docs) are therefore identical.
+    # Pair volume drops from Σ n_f² to unique-text near-dup pairs.
+    shingle_k = 5  # minhash_lsh_pairs default — byte-identical contract
+    sid = F.col(id_col).cast("string")
+    elig = docs.where(
+        F.col(text_col).isNotNull()
+        & (F.octet_length(F.lower(F.col(text_col))) + 2 >= shingle_k)
+    ).select(sid.alias("__eid"), F.md5(F.col(text_col)).alias("__fp"))
+    fam = elig.groupBy("__fp").agg(
+        F.min("__eid").alias("__rep"), F.count("*").alias("__n")
+    )
+    star = (
+        elig.join(fam, "__fp")
+        .where(F.col("__eid") != F.col("__rep"))
+        .select(F.col("__eid").alias("src"), F.col("__rep").alias("dst"))
+    )
+    reps_docs = docs.join(
+        fam.select(F.col("__rep").alias("__eid")),
+        sid == F.col("__eid"),
+        "left_semi",
+    )
     pairs = minhash_lsh_pairs(
-        docs, id_col=id_col, text_col=text_col, threshold=threshold
+        reps_docs, id_col=id_col, text_col=text_col, threshold=threshold
     ).select(
         F.col("left_id").cast("string").alias("src"),
         F.col("right_id").cast("string").alias("dst"),
     )
-    assignments = connected_components(pairs)
+    assignments = connected_components(pairs.unionByName(star))
     ids = docs.select(F.col(id_col).cast("string").alias("entity_id"))
     base = ids.join(assignments, "entity_id", "left").select(
         "entity_id",

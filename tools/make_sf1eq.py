@@ -10,10 +10,21 @@ Per-replica transforms (replica 0 is verbatim; i > 0):
 - every join-key column gets + i·10^7, so the star-schema join structure
   (orders↔lineitem↔part/supplier, customer↔nation↔region) replicates
   exactly — same selectivities, same fan-outs, 10× the rows;
-- documents: every whitespace token prefixed ``r{i}~`` (the webtext
-  benches' trick) — cross-replica text never collides in exact/fuzzy/span
-  dedup, so dup rates and candidate volumes scale the way a real 10×
-  crawl's would; n_chars recomputed;
+- documents: every whitespace token prefixed with a 7-char replica tag
+  ``md5(f"sf1eq-tag:{i}")[:6] + "~"`` — the tag characters share no
+  common substring between replicas, so at k=5 char-shingles only the
+  windows fully inside a word survive across replicas and cross-replica
+  Jaccard measures ≈0.15: below the LSH estimate-gate floor (0.31 at
+  threshold 0.5), so replicas behave like NEW documents.  Two earlier
+  cuts taught the design rule the hard way: the webtext benches' 3-char
+  ``r{i}~`` tag leaves J≈0.25 (every doc gets 9 near-miss twins above
+  the band-collision floor → pair volume grows with replicas²; measured
+  minhash_lsh_pairs 280 s), and a 6-char ``r{i:02d}xq~`` tag — differing
+  from its siblings in ONE character — SHARES most tag windows and
+  pushes J to 0.607, ABOVE the dedup threshold (every doc gains 9 true
+  duplicate twins).  A real 10× crawl adds mostly unrelated content;
+  intra-replica dup structure still replicates linearly, which is the
+  honest scaling shape.  n_chars recomputed;
 - embeddings: multiplied elementwise by a replica-specific deterministic
   ±1 (Rademacher) diagonal — pairwise cosines WITHIN a replica are exactly
   preserved (so ANN/SemDeDup group structure replicates) while
@@ -82,18 +93,19 @@ def _documents(out_dir: str, replicas: int) -> None:
                 f"SELECT * FROM read_parquet('{SRC}/documents.parquet')"
             )
         else:
+            tag = hashlib.md5(f"sf1eq-tag:{i}".encode()).hexdigest()[:6] + "~"
             # prefix every token; preserve leading/trailing whitespace
             # semantics well enough for the tokenizers (split on \s+)
             parts.append(f"""
                 SELECT doc_id + {i * OFF} AS doc_id,
                        list_aggregate(
                          list_transform(regexp_split_to_array(text, '\\s+'),
-                                        w -> 'r{i}~' || w),
+                                        w -> '{tag}' || w),
                          'string_agg', ' ') AS text,
                        lang, source,
                        CAST(length(list_aggregate(
                          list_transform(regexp_split_to_array(text, '\\s+'),
-                                        w -> 'r{i}~' || w),
+                                        w -> '{tag}' || w),
                          'string_agg', ' ')) AS BIGINT) AS n_chars
                 FROM read_parquet('{SRC}/documents.parquet')
             """)

@@ -1534,8 +1534,7 @@ def q_snapshot_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-row survival funnel, each stage pinned by (doc count, token sum,
     kept-set md5 checksum) — the DuckDB oracle replays the ENTIRE chain."""
     from entity_resolution_pipeline_spark.plans.curation import (
-        build_clean_snapshot,
-        curate_snapshot_frames,
+        curate_snapshot_overlapped,
         snapshot_funnel,
     )
 
@@ -1543,12 +1542,12 @@ def q_snapshot_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = _curate_pages(_read(spark, sf_dir, "documents"))
     new_pages = pages.where(F.col("k") % 7 != 0).drop("k")
     prior_pages = pages.where(F.col("k") % 7 == 0).drop("k")
-    # funnel=False: the prior snapshot only feeds the dedup stages — skip
-    # its funnel flag columns and the latest pin (curation.py docstring)
-    prior_clean = build_clean_snapshot(prior_pages, cfg, funnel=False)[
-        "clean"
-    ].select("doc_id", "clean_text")
-    frames = curate_snapshot_frames(new_pages, prior_clean, cfg)
+    # The prior snapshot only feeds the dedup stages (funnel=False inside:
+    # no flag columns, no latest pin) and is data-independent of the new
+    # side until exact_vs_prior — curate_snapshot_overlapped builds it in a
+    # background thread so its pins overlap the new side's (identical
+    # frames; only job submission order changes).
+    frames = curate_snapshot_overlapped(new_pages, prior_pages, cfg)
     return snapshot_funnel(frames)
 
 

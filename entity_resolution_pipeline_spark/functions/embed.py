@@ -83,16 +83,8 @@ def make_embed_udf(dim: int = 256, n: int = 3, weights=None):
     return embed_udf
 
 
-def bucket_document_frequencies(strings_df, col: str, dim: int = 256, n: int = 3):
-    """Per-bucket document frequencies over a corpus of (distinct) strings:
-    explode n-grams → bucket id → count distinct source strings.
-
-    Returns a DataFrame (bucket int, df long).  One shuffle of (bucket,
-    string-hash) pairs; at 100 TB this runs over *unique strings only* (the
-    dedup-before-expensive-work invariant) and the result is dim rows —
-    broadcastable by construction.
-    """
-    from pyspark.sql import functions as F
+def _make_buckets_udf(dim: int, n: int):
+    """Arrow UDF: string → sorted distinct bucket ids of its char n-grams."""
     from pyspark.sql.functions import pandas_udf as pudf
     from pyspark.sql.types import ArrayType as AT, IntegerType as IT
 
@@ -112,17 +104,70 @@ def bucket_document_frequencies(strings_df, col: str, dim: int = 256, n: int = 3
             out.append(np.unique(hs % np.uint32(dim)).astype(int).tolist())
         return pd.Series(out)
 
+    return buckets_udf
+
+
+def bucket_document_frequencies(strings_df, col: str, dim: int = 256, n: int = 3):
+    """Per-bucket document frequencies over a corpus of (distinct) strings:
+    explode n-grams → bucket id → count distinct source strings.
+
+    Returns a DataFrame (bucket int, df long).  One shuffle of (bucket,
+    string-hash) pairs; at 100 TB this runs over *unique strings only* (the
+    dedup-before-expensive-work invariant) and the result is dim rows —
+    broadcastable by construction.
+    """
+    from pyspark.sql import functions as F
+
     return (
-        strings_df.select(F.explode(buckets_udf(F.col(col))).alias("bucket"))
+        strings_df.select(
+            F.explode(_make_buckets_udf(dim, n)(F.col(col))).alias("bucket")
+        )
         .groupBy("bucket")
         .agg(F.count("*").alias("df"))
     )
 
 
+def bucket_frequencies_with_total(
+    strings_df, col: str, dim: int = 256, n: int = 3
+) -> tuple[list[tuple[int, int]], int]:
+    """bucket_document_frequencies AND the distinct-string total in ONE agg
+    job: a -1 sentinel bucket is prepended to every string's bucket array
+    before the explode, so count(bucket = -1) IS the string count and the
+    other rows are the per-bucket document frequencies — replacing the
+    persist + count() + agg sequence (two sequential jobs) the IDF stage
+    used to run.  Returns ([(bucket, df), ...], n_docs)."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        strings_df.select(
+            F.explode(
+                F.concat(
+                    F.array(F.lit(-1)),
+                    _make_buckets_udf(dim, n)(F.col(col)),
+                )
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    )
+    n_docs = 0
+    out: list[tuple[int, int]] = []
+    for r in rows:
+        if int(r["bucket"]) == -1:
+            n_docs = int(r["df"])
+        else:
+            out.append((int(r["bucket"]), int(r["df"])))
+    return out, n_docs
+
+
 def bucket_idf_weights(df_counts, n_docs: int, dim: int = 256) -> np.ndarray:
-    """Collect (bucket, df) rows → smooth IDF weight vector
-    log(1 + n_docs/(1+df)); buckets never seen get the max weight."""
+    """(bucket, df) rows — a DataFrame or a pre-collected iterable of
+    (bucket, df) pairs — → smooth IDF weight vector log(1 + n_docs/(1+df));
+    buckets never seen get the max weight."""
     weights = np.full(dim, np.log(1.0 + n_docs), dtype=np.float64)
-    for row in df_counts.collect():
-        weights[int(row["bucket"])] = np.log(1.0 + n_docs / (1.0 + float(row["df"])))
+    rows = df_counts.collect() if hasattr(df_counts, "collect") else df_counts
+    for row in rows:
+        b, df = (row[0], row[1]) if isinstance(row, tuple) else (row["bucket"], row["df"])
+        weights[int(b)] = np.log(1.0 + n_docs / (1.0 + float(df)))
     return weights

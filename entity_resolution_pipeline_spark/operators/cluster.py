@@ -137,7 +137,9 @@ def connected_components(
     At 10^12-edge scale the star rounds still do the heavy contraction; the
     finisher only fires once the remainder fits one task's budget.
     """
-    current = _canon(edges).localCheckpoint(eager=True)
+    # lazy checkpoint: the checksum action right below materializes it, so
+    # the canon pass runs ONE job instead of two (eager checkpoint + agg)
+    current = _canon(edges).localCheckpoint(eager=False)
     prev_sig = _checksum(current)
     budget = cfg.local_finish_max_edges
     if budget and 0 < prev_sig[0] <= budget:

@@ -22,21 +22,21 @@ def corpus_idf_weights(melted: DataFrame, cfg: EmbeddingConfig) -> list[float]:
     to embed NEW data under the training-time featurization (incremental /
     streaming scoring must not let old strings' vectors drift as the corpus
     grows — IDF weights are learned parameters, like the LR weights)."""
-    from ..functions.embed import bucket_document_frequencies, bucket_idf_weights
+    from ..functions.embed import bucket_frequencies_with_total, bucket_idf_weights
 
     distinct_strings = (
         melted.where(F.col("field").isin(*cfg.fields_to_embed))
         .select("hash", "value_norm")
         .dropDuplicates(["hash"])
-        .persist()
     )
-    n_docs = distinct_strings.count()
-    dfc = bucket_document_frequencies(
+    # ONE job: the sentinel-fused agg returns the per-bucket document
+    # frequencies AND the distinct-string total together, replacing the
+    # former persist + count() + agg sequence (two sequential jobs and a
+    # cache round-trip for a ≤dim-row result).
+    dfc, n_docs = bucket_frequencies_with_total(
         distinct_strings, "value_norm", dim=cfg.dimensions, n=cfg.char_ngram
     )
-    out = bucket_idf_weights(dfc, n_docs, dim=cfg.dimensions).tolist()
-    distinct_strings.unpersist()
-    return out
+    return bucket_idf_weights(dfc, n_docs, dim=cfg.dimensions).tolist()
 
 
 def embed_unique_strings(
@@ -69,11 +69,13 @@ def embed_unique_strings(
     )
 
     if weights is None and cfg.use_idf:
-        from ..functions.embed import bucket_document_frequencies, bucket_idf_weights
+        from ..functions.embed import bucket_frequencies_with_total, bucket_idf_weights
 
         distinct_strings = distinct_strings.persist()
-        n_docs = distinct_strings.count()
-        dfc = bucket_document_frequencies(
+        # the persist still pays off (the embed UDF below rescans it); the
+        # sentinel-fused agg both materializes it and returns dfs + total in
+        # one job (replacing count() + agg — see corpus_idf_weights)
+        dfc, n_docs = bucket_frequencies_with_total(
             distinct_strings, "value_norm", dim=cfg.dimensions, n=cfg.char_ngram
         )
         weights = bucket_idf_weights(dfc, n_docs, dim=cfg.dimensions).tolist()

@@ -405,6 +405,18 @@ def curate_snapshot_frames(
     """The full chain, in memory, returning every stage frame (shared by the
     contract query and tests; the CLI materializes between stages)."""
     frames = build_clean_snapshot(pages, cfg, persist=persist, timings=timings)
+    return _dedup_tail_frames(frames, prior_clean, cfg, persist, timings)
+
+
+def _dedup_tail_frames(
+    frames: dict[str, DataFrame],
+    prior_clean: DataFrame | None,
+    cfg: CurationConfig,
+    persist: bool = True,
+    timings: dict | None = None,
+) -> dict[str, DataFrame]:
+    """The post-clean tail of the chain (dedup vs prior → buckets → sample →
+    pack), shared by the sequential and the overlapped builders."""
     exact = s_dedup_exact(frames["clean"], prior_clean, cfg)
     if persist and prior_clean is not None:
         exact = _pin(exact, timings, "exact_vs_prior")
@@ -413,9 +425,13 @@ def curate_snapshot_frames(
     if persist and prior_clean is not None:
         fuzzy = _pin(fuzzy, timings, "fuzzy_vs_prior")
     frames["fuzzy"] = fuzzy
+    # buckets has exactly ONE downstream consumer (the sampled pin; the
+    # funnel has no buckets row), so pinning it bought nothing: the sampled
+    # pin below materializes the bucket lineage (percentile agg + join)
+    # exactly once either way, and the extra eager materialization was one
+    # whole sequential job per snapshot (measured 0.5-1.4 s at sf0.1; at
+    # corpus scale a full extra pass over the surviving corpus).
     bucketed = s_buckets(fuzzy)
-    if persist:
-        bucketed = _pin(bucketed, timings, "buckets")
     frames["buckets"] = bucketed
     sampled = s_sample(bucketed, cfg)
     if persist:
@@ -423,6 +439,35 @@ def curate_snapshot_frames(
     frames["sampled"] = sampled
     frames["chunks"] = s_pack(sampled, cfg)
     return frames
+
+
+def curate_snapshot_overlapped(
+    new_pages: DataFrame,
+    prior_pages: DataFrame,
+    cfg: CurationConfig,
+    timings: dict | None = None,
+) -> dict[str, DataFrame]:
+    """curate_snapshot_frames with the PRIOR snapshot's cleaning chain built
+    in a background thread (guide-style independent-job overlap): the prior
+    side's extract→quality→spans pins are data-independent of the new
+    side's until the exact-dedup stage, so its eager materializations run
+    while the new side's pins execute instead of serializing in front of
+    them.  Spark's scheduler interleaves the two job streams (FIFO
+    back-fill); frames and values are identical to the sequential builder —
+    only job *submission* order changes, and every pin is still
+    materialized exactly once."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build_prior() -> DataFrame:
+        return build_clean_snapshot(prior_pages, cfg, funnel=False, timings=timings)[
+            "clean"
+        ].select("doc_id", "clean_text")
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        prior_fut = pool.submit(_build_prior)
+        frames = build_clean_snapshot(new_pages, cfg, timings=timings)
+        prior_clean = prior_fut.result()
+    return _dedup_tail_frames(frames, prior_clean, cfg, True, timings)
 
 
 def snapshot_funnel(frames: dict[str, DataFrame]) -> DataFrame:

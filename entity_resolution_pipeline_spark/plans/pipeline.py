@@ -67,6 +67,22 @@ def prepare(pages: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> PipelineR
     emb = E.embed_unique_strings(melted, cfg.embedding, weights=weights).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Pre-materialize the embedding persist in a BACKGROUND thread: the
+    # blocking/candidate phase that follows prepare() in the dedup plan
+    # never reads vectors, so the embed-UDF pass (the largest single job in
+    # prepare's lineage) overlaps it instead of serializing in front of the
+    # scoring stage's first action.  Purely a scheduling hint — the persist
+    # is populated exactly once (concurrent cache fills are idempotent) and
+    # any real failure resurfaces at the first true consumer.
+    import threading
+
+    def _warm_persist() -> None:
+        try:
+            emb.count()
+        except Exception:
+            pass
+
+    threading.Thread(target=_warm_persist, daemon=True).start()
     return PipelineResult(
         records=records,
         melted=melted,

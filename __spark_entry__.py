@@ -1095,14 +1095,20 @@ def q_quality_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision), feeding svgreport's ROC/PR figures."""
     from entity_resolution_pipeline_spark.operators.classify import roc_points_df
     from entity_resolution_pipeline_spark.operators.webtext import (
-        gopher_quality,
+        _gopher_exprs,
         quality_classifier_scores,
     )
 
     docs = _read(spark, sf_dir, "documents")
-    scores = quality_classifier_scores(docs).select("doc_id", "quality_prob")
-    labels = gopher_quality(docs).select("doc_id", "passes")
-    scored = scores.join(labels, "doc_id")
+    # Gopher label fused into the scoring projection (keep=): both are
+    # row-local metrics over the same corpus, so one scan computes score
+    # AND label — no second tokenize pass, no scores-vs-labels self-join
+    # (values identical: the former inner join on doc_id was 1:1 over the
+    # scored rows).
+    passes = _gopher_exprs("text")["passes"].cast("int").alias("passes")
+    scored = quality_classifier_scores(docs, keep=(passes,)).select(
+        "doc_id", "quality_prob", "passes"
+    )
     return roc_points_df(scored, label_col="passes", prob_col="quality_prob", n_bins=64)
 
 

@@ -1150,20 +1150,32 @@ def curation_funnel(
             "n_tokens",
         )
 
-    passing = (
-        gopher_quality(docs, id_col=id_col, text_col=text_col, **gopher_kwargs)
-        .where(F.col("passes") == 1)
-        .select(id_col)
-    )
-    surv1 = docs.join(passing, id_col, "left_semi")
+    # Row-local gates as FLAG COLUMNS on one projection (the same fused
+    # shape plans/curation.build_clean_snapshot uses): the per-stage
+    # survivor sets become cheap filters over the flags instead of
+    # left-semi joins against separately-evaluated gate branches — two
+    # join exchanges gone from the plan, and every re-consumer of the
+    # survivor lineage (the span-dedup stage reads it three times)
+    # re-streams a filter, not a join.  Gates are deterministic row-local
+    # predicates, so the flag conjunction is row-identical to the
+    # sequential semi-joins.
+    gok = gopher_passes_col(text_col, **gopher_kwargs).alias("__gok")
     if badwords:
-        ok = (
-            badwords_filter(surv1, list(badwords), id_col=id_col, text_col=text_col)
-            .where(F.col("kept") == 1)
-            .select(id_col)
+        bok = (
+            (badwords_count_col(text_col, list(badwords)) == 0)
+            .cast("int")
+            .alias("__bok")
         )
-        surv2 = _maybe_persist(surv1.join(ok, id_col, "left_semi"))
+        flagged = docs.select(F.col(id_col), F.col(text_col), gok, bok)
+        surv1 = flagged.where(F.col("__gok") == 1).select(id_col, text_col)
+        surv2 = _maybe_persist(
+            flagged.where((F.col("__gok") == 1) & (F.col("__bok") == 1)).select(
+                id_col, text_col
+            )
+        )
     else:
+        flagged = docs.select(F.col(id_col), F.col(text_col), gok)
+        surv1 = flagged.where(F.col("__gok") == 1).select(id_col, text_col)
         surv2 = _maybe_persist(surv1)
     cleaned = _maybe_persist(
         remove_dup_spans(
@@ -1272,6 +1284,7 @@ def quality_classifier_scores(
     weights=None,
     bias: float | None = None,
     method: str = "expr",
+    keep: tuple = (),
 ) -> DataFrame:
     """DCLM/LLaMA-style model-based quality filtering: score every document
     with a fastText-shaped linear classifier over hashed word uni+bigram
@@ -1299,7 +1312,16 @@ def quality_classifier_scores(
         weights, bias = train_quality_classifier()
     n_buckets = len(weights)
 
-    toks = docs.select(F.col(id_col).alias("id"), _tokens(text_col).alias("t"))
+    # `keep`: extra columns (names, or named Column exprs over the input
+    # row) carried through to the output — lets a consumer needing the
+    # score AND another row-local metric over the same corpus (e.g. the
+    # ROC query's Gopher label) fuse both into this single projection
+    # instead of scanning the corpus twice and joining branches back on id.
+    keep_in = [F.col(c) if isinstance(c, str) else c for c in keep]
+    toks = docs.select(
+        F.col(id_col).alias("id"), _tokens(text_col).alias("t"), *keep_in
+    )
+    keep_names = [c for c in toks.columns if c not in ("id", "t")]
     bigrams = F.when(
         F.size("t") >= 2,
         F.expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"),
@@ -1308,7 +1330,10 @@ def quality_classifier_scores(
     if method == "expr":
         warr = F.array(*[F.lit(float(w)) for w in weights])
         grams_df = toks.where(F.size("t") >= 1).select(
-            "id", F.concat(F.col("t"), bigrams).alias("grams"), warr.alias("__w")
+            "id",
+            F.concat(F.col("t"), bigrams).alias("grams"),
+            warr.alias("__w"),
+            *keep_names,
         )
         # left-to-right fold over the doc's grams: acc + w[h(g)]
         s = F.expr(
@@ -1321,6 +1346,7 @@ def quality_classifier_scores(
             F.col("id").alias(id_col),
             F.size("grams").cast("long").alias("n_grams"),
             F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("quality_prob"),
+            *keep_names,
         )
 
     spark = docs.sparkSession
@@ -1330,21 +1356,22 @@ def quality_classifier_scores(
         )
     )
     grams = toks.where(F.size("t") >= 1).select(
-        "id", F.explode(F.concat(F.col("t"), bigrams)).alias("g")
+        "id", F.explode(F.concat(F.col("t"), bigrams)).alias("g"), *keep_names
     )
     bucket = (
         F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long") % n_buckets
     ).alias("bucket")
     z = F.lit(float(bias)) + F.sum("w") / F.count("*")
     return (
-        grams.select("id", bucket)
+        grams.select("id", bucket, *keep_names)
         .join(wtab, "bucket")
         .groupBy("id")
         .agg(
             F.count("*").alias("n_grams"),
             F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("quality_prob"),
+            *[F.first(c).alias(c) for c in keep_names],
         )
-        .select(F.col("id").alias(id_col), "n_grams", "quality_prob")
+        .select(F.col("id").alias(id_col), "n_grams", "quality_prob", *keep_names)
     )
 
 

@@ -31,21 +31,58 @@ from ..operators import features as FE
 from ..operators import preprocess as P
 
 
-@dataclass
 class PipelineResult:
-    records: DataFrame
-    melted: DataFrame
-    unique_strings: DataFrame
-    embeddings: DataFrame
-    record_field_hashes: DataFrame
-    model: Any = None
-    metrics: dict = field(default_factory=dict)
-    predictions: DataFrame | None = None
-    clusters: DataFrame | None = None
-    # frozen featurization params: the IDF bucket weights the embeddings were
-    # computed under (None when cfg.embedding.use_idf is off).  Incremental /
-    # streaming scoring re-embeds NEW strings under these same weights.
-    idf_weights: list | None = None
+    """Stage handles of the shared pipeline prefix.
+
+    `embeddings` / `idf_weights` may be built ASYNCHRONOUSLY (prepare()
+    hands them off to a background thread so the IDF agg and the embed-UDF
+    materialization overlap the blocking phase, which never reads vectors);
+    the properties block until the build completes, so consumers see
+    exactly the values the synchronous construction produced.
+    `idf_weights` are the frozen featurization params the embeddings were
+    computed under (None when cfg.embedding.use_idf is off); incremental /
+    streaming scoring re-embeds NEW strings under these same weights."""
+
+    def __init__(
+        self,
+        records: DataFrame,
+        melted: DataFrame,
+        unique_strings: DataFrame,
+        record_field_hashes: DataFrame,
+        embeddings: DataFrame | None = None,
+        model: Any = None,
+        metrics: dict | None = None,
+        predictions: DataFrame | None = None,
+        clusters: DataFrame | None = None,
+        idf_weights: list | None = None,
+        emb_future: Any = None,
+    ) -> None:
+        self.records = records
+        self.melted = melted
+        self.unique_strings = unique_strings
+        self.record_field_hashes = record_field_hashes
+        self.model = model
+        self.metrics = metrics if metrics is not None else {}
+        self.predictions = predictions
+        self.clusters = clusters
+        self._embeddings = embeddings
+        self._idf_weights = idf_weights
+        self._emb_future = emb_future
+
+    def _resolve_emb(self) -> None:
+        if self._emb_future is not None:
+            fut, self._emb_future = self._emb_future, None
+            self._embeddings, self._idf_weights = fut.result()
+
+    @property
+    def embeddings(self) -> DataFrame:
+        self._resolve_emb()
+        return self._embeddings
+
+    @property
+    def idf_weights(self) -> list | None:
+        self._resolve_emb()
+        return self._idf_weights
 
 
 def prepare(pages: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> PipelineResult:
@@ -61,35 +98,38 @@ def prepare(pages: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> PipelineR
     melted = P.melt_fields(records).persist(StorageLevel.MEMORY_AND_DISK)
     uniq = P.unique_strings(melted).persist(StorageLevel.MEMORY_AND_DISK)
     rfh = P.record_field_hashes(melted).persist(StorageLevel.MEMORY_AND_DISK)
-    weights = (
-        E.corpus_idf_weights(melted, cfg.embedding) if cfg.embedding.use_idf else None
-    )
-    emb = E.embed_unique_strings(melted, cfg.embedding, weights=weights).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    # Pre-materialize the embedding persist in a BACKGROUND thread: the
-    # blocking/candidate phase that follows prepare() in the dedup plan
-    # never reads vectors, so the embed-UDF pass (the largest single job in
-    # prepare's lineage) overlaps it instead of serializing in front of the
-    # scoring stage's first action.  Purely a scheduling hint — the persist
-    # is populated exactly once (concurrent cache fills are idempotent) and
-    # any real failure resurfaces at the first true consumer.
-    import threading
 
-    def _warm_persist() -> None:
-        try:
-            emb.count()
-        except Exception:
-            pass
+    # The entire vector build — IDF agg, embed-UDF plan, persist
+    # materialization — runs in a BACKGROUND thread: the blocking/candidate
+    # phase that follows prepare() in the dedup plan never reads vectors,
+    # so these jobs overlap it instead of serializing in front of the
+    # scoring stage's first action (guide-style independent-job overlap).
+    # PipelineResult.embeddings/.idf_weights block on the future, so every
+    # consumer sees exactly the synchronous result; the persist is
+    # populated once and real failures re-raise at the first consumer.
+    from concurrent.futures import ThreadPoolExecutor
 
-    threading.Thread(target=_warm_persist, daemon=True).start()
+    def _build_emb():
+        weights = (
+            E.corpus_idf_weights(melted, cfg.embedding)
+            if cfg.embedding.use_idf
+            else None
+        )
+        emb = E.embed_unique_strings(melted, cfg.embedding, weights=weights).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        emb.count()  # pre-materialize while off the critical path
+        return emb, weights
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    fut = pool.submit(_build_emb)
+    pool.shutdown(wait=False)
     return PipelineResult(
         records=records,
         melted=melted,
         unique_strings=uniq,
-        embeddings=emb,
         record_field_hashes=rfh,
-        idf_weights=weights,
+        emb_future=fut,
     )
 
 

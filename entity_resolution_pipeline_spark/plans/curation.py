@@ -385,7 +385,15 @@ def build_clean_snapshot(
             & (F.col("__badok") == 1)
         ).select("doc_id", "url", "text")
         quality = redact_pii(survivors).select("doc_id", "url", "text")
-    if persist:
+    # On the fused (funnel=True) path `quality` is a row-local filter +
+    # regex projection over the already-pinned flag frame, so a second
+    # eager pin here bought only the avoidance of re-streaming that cheap
+    # projection per consumer — one whole sequential materialization
+    # barrier for ~a regex pass.  Re-streaming is the documented
+    # recompute-vs-materialize rule (BENCH/BASELINE.md finding 3); the
+    # un-fused prior-side path (funnel=False) keeps the pin, since there
+    # `quality` carries the whole extract→latest lineage.
+    if persist and not funnel:
         quality = _pin(quality, timings, "quality")
     frames["quality"] = quality
     clean = s_spans(quality, cfg)

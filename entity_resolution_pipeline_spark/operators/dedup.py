@@ -192,12 +192,10 @@ def _minhash_feats(
     bands: int,
     persist: bool = True,
 ) -> DataFrame:
-    """Persisted per-doc MinHash feature table (id, sig, sh, ss, keys) at
+    """Materialized per-doc MinHash feature table (id, sig, sh, ss, keys) at
     stage width — ONE text pass (make_sig_shingle_band_udf) feeds banding,
     the estimate prefilter AND the exact-verify arrays; the band keys ride
     along so no second Python stage ever touches the sig column."""
-    from pyspark import StorageLevel
-
     from ..config import python_stage_width
     from ..functions.minhash import make_sig_shingle_band_udf
 
@@ -212,7 +210,19 @@ def _minhash_feats(
         F.size("f.sh").alias("ss"),
         F.col("f.keys").alias("keys"),
     )
-    return out.persist(StorageLevel.MEMORY_AND_DISK) if persist else out
+    if not persist:
+        return out
+    # EAGER, lineage-truncating materialization (localCheckpoint, not lazy
+    # persist): the table has up to six downstream consumers (band explode
+    # l/r, sig attach l/r, shingle attach l/r), and with AQE those
+    # exchanges/broadcasts materialize CONCURRENTLY — racing on a lazy
+    # persist's unfilled cache, the Arrow sig+shingle kernel was observed
+    # running 6x in parallel (six identical 16-task stages in the event
+    # log), 6x the CPU and a 6x-oversubscribed Python worker pool.  One
+    # eager pass fills the blocks once; consumers then scan blocks, and
+    # the truncated lineage also shrinks every downstream plan janino has
+    # to compile.
+    return out.localCheckpoint(eager=True)
 
 
 def _feats_broadcastable(
@@ -360,11 +370,14 @@ def minhash_lsh_pairs(
     bids = feats.select("id", F.explode("keys").alias("key"))
 
     if _feats_broadcastable(feats, num_hashes, bands, broadcast_budget_mb):
+        from ..config import python_stage_width as _psw
+
         cands = (
             bids.toDF("left_id", "key")
             .join(F.broadcast(bids.toDF("right_id", "key")), "key")
             .where(F.col("left_id") < F.col("right_id"))
             .select("left_id", "right_id")
+            .repartition(_psw(docs.sparkSession), "left_id", "right_id")
             .dropDuplicates()
         )
         return _fused_verify(
@@ -373,10 +386,28 @@ def minhash_lsh_pairs(
 
     l = bids.alias("l")
     r = bids.alias("r")
+    # The pair-dedup exchange is pinned at stage width (repartition on the
+    # pair key, which dropDuplicates' clustering requirement then reuses —
+    # no extra shuffle): the estimate-gate fold and the exact-verify kernel
+    # downstream are pipelined onto THIS exchange's output with no further
+    # shuffle, and their cost is per-ROW compute (~µs/pair), invisible to
+    # AQE's byte-based coalescing, which was observed squeezing the whole
+    # gate+verify chain onto 3 of 32 cores at bench scale (8 MB of slim
+    # pair rows).  Same rule as the feature battery's explicit repartition
+    # before its Python stage (features.py): UDF cost/row >> bytes/row.
+    # Width scales with the cluster (defaultParallelism), so this stays
+    # right on a real deployment; the lost map-side partial dedup costs
+    # only the band-duplicate factor in shuffle bytes (measured 1.03x at
+    # sf0.1; bounded by the band count).
+    from ..config import python_stage_width
+
     cands = (
         l.join(r, "key")
         .where(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("left_id"), F.col("r.id").alias("right_id"))
+        .repartition(
+            python_stage_width(docs.sparkSession), "left_id", "right_id"
+        )
         .dropDuplicates()
     )
     sigs = feats.select("id", "sig")
@@ -829,10 +860,17 @@ def minhash_lsh_pairs_cross(
     if _feats_broadcastable(rfeats, num_hashes, bands, broadcast_budget_mb):
         lbids = lfeats.select("id", F.explode("keys").alias("key"))
         rbids = rfeats.select("id", F.explode("keys").alias("key"))
+        from ..config import python_stage_width
+
+        # width-pinned pair-dedup exchange: the fused gate+verify pipelines
+        # onto it and is compute-bound per row (see minhash_lsh_pairs)
         cands = (
             lbids.toDF("left_id", "key")
             .join(F.broadcast(rbids.toDF("right_id", "key")), "key")
             .select("left_id", "right_id")
+            .repartition(
+                python_stage_width(lfeats.sparkSession), "left_id", "right_id"
+            )
             .dropDuplicates()
         )
         return _fused_verify(
@@ -848,12 +886,18 @@ def _cross_pairs_tiered(
     exact verify) cross pairs from prebuilt feature tables — the
     bytes-optimal 10^12-doc shuffle shape shared by the pair operator and
     the flagging operator's over-budget fallback."""
+    from ..config import python_stage_width
+
     lbids = lfeats.select("id", F.explode("keys").alias("key"))
     rbids = rfeats.select("id", F.explode("keys").alias("key"))
+    # width-pinned pair-dedup exchange — see minhash_lsh_pairs
     cands = (
         lbids.toDF("left_id", "key")
         .join(rbids.toDF("right_id", "key"), "key")
         .select("left_id", "right_id")
+        .repartition(
+            python_stage_width(lfeats.sparkSession), "left_id", "right_id"
+        )
         .dropDuplicates()
     )
     eq = F.zip_with("lsig", "rsig", lambda a, b: (a == b).cast("int"))
@@ -1409,7 +1453,17 @@ def semantic_dedup(
             }
         )
 
-    grouped = v.groupBy("bucket")
+    # width-pinned bucket exchange: the per-bucket kernel is compute-bound
+    # (matmul + CC per group), invisible to AQE's byte-based coalescing,
+    # which at small shuffle sizes squeezes every bucket onto 1-2 tasks
+    # (same rule as the verify-chain repartition in minhash_lsh_pairs);
+    # repartition on the grouping key satisfies groupBy's clustering
+    # requirement, so this pins width without an extra exchange
+    from ..config import python_stage_width as _psw_sd
+
+    grouped = v.repartition(
+        _psw_sd(embeddings.sparkSession), "bucket"
+    ).groupBy("bucket")
     kernel_schema = "id long, bucket string, root string, cent_cos double, kept int"
     use_arrow = kernel == "arrow" or (kernel == "auto" and hasattr(grouped, "applyInArrow"))
     if use_arrow:
@@ -1540,8 +1594,14 @@ def semantic_dedup_multitable(
                 dsts.extend(sids[ri])
         return pd.DataFrame({"src": srcs, "dst": dsts})
 
+    # width-pinned bucket exchange (compute-bound per-bucket kernel — see
+    # the semantic_dedup note); repartition on the key adds no exchange
+    from ..config import python_stage_width as _psw_mt
+
+    width = _psw_mt(embeddings.sparkSession)
     edges = (
-        v.groupBy("bucket")
+        v.repartition(width, "bucket")
+        .groupBy("bucket")
         .applyInPandas(_bucket_edges, schema="src string, dst string")
         .dropDuplicates(["src", "dst"])
     )
@@ -1570,7 +1630,7 @@ def semantic_dedup_multitable(
             {"id": ids, "root": key[0], "cent_cos": cent_cos, "kept": kept}
         )
 
-    dup_rows = members.groupBy("root").applyInPandas(
+    dup_rows = members.repartition(width, "root").groupBy("root").applyInPandas(
         _component_rep, schema="id long, root string, cent_cos double, kept int"
     )
     singles = svec.join(cc.select("entity_id"), "entity_id", "left_anti").select(

@@ -265,6 +265,26 @@ class PipelineConfig:
 DEFAULT_CONFIG = PipelineConfig()
 
 
+def ensure_min_width(df, width: int | None = None):
+    """Round-robin repartition up to `width` (default python_stage_width)
+    ONLY when the plan's current partitioning is narrower — a no-op at
+    corpus scale, where the scan/exchange upstream already provides ≥width
+    partitions, so no shuffle is ever added to a big input.  Guards
+    compute-heavy row-local stages (regex extraction chains, gram hashing,
+    span excision) against single-split inputs: a small parquet file scans
+    as ONE partition, and every downstream row-local expression would
+    otherwise run on one core regardless of cluster size.
+
+    Caller contract: pass an EXCHANGE-FREE lineage (scan, localCheckpoint,
+    row-local projections/filters over one) — the partition-count probe
+    (`df.rdd`) forces physical planning, and under AQE a lineage containing
+    exchanges would materialize its query stages eagerly."""
+    w = width if width is not None else python_stage_width(df.sparkSession)
+    if df.rdd.getNumPartitions() >= w:
+        return df
+    return df.repartition(w)
+
+
 def python_stage_width(spark) -> int:
     """Partition count for Python-UDF (Arrow) stages: HALF the scheduler
     slots, floor 4.  A pandas-UDF task keeps ~2 threads busy — the JVM side

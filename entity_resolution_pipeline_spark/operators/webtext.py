@@ -858,9 +858,18 @@ def remove_dup_spans(
     Reconstruction is per-row O(n_tokens x n_dup_spans) with both factors
     page-bounded; the relational work is two shuffles of slim rows.
     """
-    base = docs.select(
-        F.col(id_col).alias("_id"), _tokens(text_col).alias("toks")
-    ).withColumn("n", F.size("toks"))
+    from ..config import ensure_min_width
+
+    # minimum-width guard: gram hashing (two evaluations by design) and the
+    # span-excision reconstruction are heavy row-local expressions; a
+    # single-split input (tiny parquet scan / narrow checkpoint) would run
+    # them on one core.  No-op when the input already has >= stage-width
+    # partitions (every corpus-scale scan does).
+    base = ensure_min_width(
+        docs.select(F.col(id_col).alias("_id"), F.col(text_col))
+    ).select("_id", _tokens(text_col).alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
     # Gram build: the naive per-gram `concat_ws(" ", slice(toks, i, k))`
     # allocates an array + string PER GRAM and stops scaling past ~8 cores
     # on one box (allocation-rate bound; measured 19.6 s -> 10.5 s at

@@ -345,10 +345,17 @@ def build_clean_snapshot(
         redact_pii,
     )
 
+    from ..config import ensure_min_width
+
     frames: dict[str, DataFrame] = {}
-    frames["extracted"] = s_extract(pages)
-    latest = s_latest(frames["extracted"])
+    # minimum-width guard on the chain input: the WET-extraction regex
+    # chain, the gate flag battery, and everything before the first
+    # exchange are heavy row-local expressions; a single-split page scan
+    # (tiny fixture parquet) would run them all on one core.  No-op at
+    # corpus scale (see config.ensure_min_width).
+    frames["extracted"] = s_extract(ensure_min_width(pages))
     if not funnel:
+        latest = s_latest(frames["extracted"])
         frames["latest"] = latest
         frames["blocklist"] = s_blocklist_only(
             latest.select("doc_id", "url", "text"), cfg
@@ -356,21 +363,33 @@ def build_clean_snapshot(
         frames["gopher"] = s_gopher_only(frames["blocklist"], cfg)
         quality = s_quality(latest.select("doc_id", "url", "text"), cfg)
     else:
-        flagged = latest
+        # Gate flags are computed on the PRE-latest capture rows and ride
+        # the latest-capture max_by struct (keep=): the flags are row-local
+        # functions of (url, text), so the kept row's flags computed before
+        # the agg equal the flags computed on the kept row after it — but
+        # before the agg they evaluate at the SCAN's full width, while
+        # after it they ran on the agg output, which AQE's byte-based
+        # coalescing squeezes to 1-2 partitions at small shuffle sizes
+        # (measured: the whole tokenize/rule battery on one core inside the
+        # extract+latest pin).  Costs flag evaluation per capture instead
+        # of per kept URL (~the capture dup factor) and 3 small ints on the
+        # shuffle — the right trade at every scale.
+        ext = frames["extracted"]
         if cfg.blocked_domains:
             # keep=False: adds the 0/1 `blocked` column map-side (both
             # physical shapes compose onto this same scan — no extra pass)
-            flagged = blocklist_filter(
-                flagged, list(cfg.blocked_domains), url_col="url", keep=False
+            ext = blocklist_filter(
+                ext, list(cfg.blocked_domains), url_col="url", keep=False
             ).drop("host")
         else:
-            flagged = flagged.withColumn("blocked", F.lit(0))
-        flagged = flagged.withColumn(
+            ext = ext.withColumn("blocked", F.lit(0))
+        ext = ext.withColumn(
             "__gopher", gopher_passes_col("text", **cfg.gopher)
         ).withColumn(
             "__badok",
             (badwords_count_col("text", list(cfg.badwords)) == 0).cast("int"),
         )
+        flagged = s_latest(ext, keep=("blocked", "__gopher", "__badok"))
         if persist:
             flagged = _pin(flagged, timings, "extract+latest")
         gates = ["blocked", "__gopher", "__badok"]

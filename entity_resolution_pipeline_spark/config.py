@@ -279,6 +279,8 @@ def ensure_min_width(df, width: int | None = None):
     row-local projections/filters over one) — the partition-count probe
     (`df.rdd`) forces physical planning, and under AQE a lineage containing
     exchanges would materialize its query stages eagerly."""
+    if df.isStreaming:
+        return df  # no static partition count; micro-batches size themselves
     w = width if width is not None else python_stage_width(df.sparkSession)
     if df.rdd.getNumPartitions() >= w:
         return df

@@ -324,6 +324,13 @@ def repetition_metrics(
     aggregations on (doc_id, gram) — uniform keys, no skew — plus one
     per-doc window over the counted grams.
     """
+    from ..config import ensure_min_width
+
+    # minimum-width guard: the gram build (array_join over sliced token
+    # windows, twice — top_n and dup_n lineages) is a heavy row-local
+    # expression; a single-split scan would run it on one core (no-op at
+    # corpus scale — see config.ensure_min_width)
+    docs = ensure_min_width(docs.select(F.col(id_col), F.col(text_col)))
     top = _gram_counts(docs, id_col, text_col, top_n)
     w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("gram"))
     top_frac = (
@@ -1326,8 +1333,12 @@ def quality_classifier_scores(
     # score AND another row-local metric over the same corpus (e.g. the
     # ROC query's Gopher label) fuse both into this single projection
     # instead of scanning the corpus twice and joining branches back on id.
+    from ..config import ensure_min_width
+
     keep_in = [F.col(c) if isinstance(c, str) else c for c in keep]
-    toks = docs.select(
+    # minimum-width guard: the gram fold is a heavy row-local expression
+    # (no-op at corpus scale — see config.ensure_min_width)
+    toks = ensure_min_width(docs).select(
         F.col(id_col).alias("id"), _tokens(text_col).alias("t"), *keep_in
     )
     keep_names = [c for c in toks.columns if c not in ("id", "t")]

@@ -164,11 +164,11 @@ def candidate_pairs(
     complete-enumeration triangle buckets) so no single block key dominates
     a shuffle partition; AQE skew-join handles the rest.
     """
-    from pyspark import StorageLevel
-
     # membership is consumed four times (size agg, anti-join, both join
-    # sides); materialize once so the signature UDFs run once per record
-    membership = membership.persist(StorageLevel.MEMORY_AND_DISK)
+    # sides); eager lineage-truncating materialization (see
+    # dedup._minhash_feats): a lazy persist raced its own concurrent AQE
+    # subtree materializations, running the signature UDF pass per consumer
+    membership = membership.localCheckpoint(eager=True)
     salted = cfg.hot_block_strategy == "salt"
     if salted:
         kept = salt_hot_blocks(membership, cfg)

@@ -146,15 +146,19 @@ def ngram_jaccard_pairs(
     the corpus file happened to scan as.  Cache ownership: loop callers
     clearCache() (bench.py does).
     """
-    from pyspark import StorageLevel
-
     from ..config import python_stage_width
 
+    # eager, lineage-truncating materialization (see _minhash_feats): the
+    # shingle-array table has four downstream consumers (join l/r + two
+    # size attaches) whose AQE exchanges materialize concurrently — racing
+    # a lazy persist's unfilled cache re-runs the split/slice/zip/distinct
+    # pipeline per consumer; one eager pass fills the blocks once and
+    # truncates the lineage janino compiles downstream
     arr = (
         docs.select(F.col(id_col).alias("id"), F.col(text_col))
         .repartition(python_stage_width(docs.sparkSession))
         .select("id", _shingle_array_col(text_col, n).alias("shs"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     sh = arr.select("id", F.explode("shs").alias("shingle"))
     sizes = arr.select("id", F.size("shs").alias("sz"))
@@ -442,8 +446,6 @@ def simhash_pairs(
     signature UDF."""
     from ..config import python_stage_width
 
-    from pyspark import StorageLevel
-
     sim = make_simhash_udf()
     # NULL-text docs are not pairable (NULL signature in the oracle's md5
     # chain): filter on the TEXT column before the UDF — filtering on
@@ -455,11 +457,12 @@ def simhash_pairs(
     ).repartition(
         python_stage_width(docs.sparkSession)  # see minhash_lsh_pairs note
     ).select("id", sim(F.col(text_col)).alias("sig"))
-    # persisted for the duration of THIS plan: the band self-join reads the
-    # signature table on both sides, and with a broadcast build side the
-    # two subtrees cannot share an exchange — without the persist the UDF
-    # runs once per side (cache ownership: loop callers clearCache())
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    # eager, lineage-truncating materialization (see _minhash_feats): the
+    # band self-join reads the signature table on both sides, and with a
+    # broadcast build side the two subtrees cannot share an exchange — a
+    # lazy persist raced its own concurrent AQE materializations (the UDF
+    # evaluated per side); one eager pass fills the blocks once
+    base = base.localCheckpoint(eager=True)
     bandcols = [
         F.concat(F.lit(f"{i}:"), F.shiftright("sig", 16 * i).bitwiseAND(F.lit(0xFFFF)).cast("string")).alias("band")
         for i in range(4)

@@ -578,13 +578,18 @@ def embedding_neardup_pairs(
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     v = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    if dim is None:
-        first = v.select("vec").first()
-        dim = len(first[0]) if first else 0
-    # one count job against the (usually parquet-backed, column-pruned)
-    # input decides the path; the collect below reuses the persisted input
+    # ONE agg job decides the path: row count AND the vector width together
+    # (the former separate first() job existed only to read dim); the
+    # collect below reuses the persisted input
     v = v.persist(StorageLevel.MEMORY_AND_DISK)
-    n = v.count()
+    if dim is None:
+        row = v.agg(
+            F.count("*").alias("n"), F.first(F.size("vec")).alias("d")
+        ).first()
+        n = int(row["n"])
+        dim = int(row["d"]) if row["d"] is not None else 0
+    else:
+        n = v.count()
     if n * max(dim, 1) * 8 > broadcast_budget_bytes:
         import warnings
 

@@ -710,6 +710,7 @@ def pair_predictions_hashed(
     vectors: DataFrame,
     model,
     cfg: FeatureConfig = FeatureConfig(),
+    staged=None,
 ) -> DataFrame:
     """Fused featurize+score for the predict path: ONE Python stage computes
     the battery AND the LR probability per Arrow batch, emitting the narrow
@@ -719,11 +720,102 @@ def pair_predictions_hashed(
     Bit-identical to the unfused path (pinned by test_classify)."""
     if cfg.broadcast_vectors:
         return pair_features_hashed(
-            pairs, rfh, unique_strings, vectors, cfg, _score_model=model
+            pairs, rfh, unique_strings, vectors, cfg, _score_model=model,
+            staged=staged,
         )
     from .classify import score
 
-    return score(pair_features_hashed(pairs, rfh, unique_strings, vectors, cfg), model)
+    return score(
+        pair_features_hashed(
+            pairs, rfh, unique_strings, vectors, cfg, staged=staged
+        ),
+        model,
+    )
+
+
+def stage_vector_matrix(
+    vectors: DataFrame, cfg: FeatureConfig = FeatureConfig()
+) -> tuple[dict, list, int, str]:
+    """DISTRIBUTED matrix staging: executors write float32 npy shards of
+    the dedup'd vector table in parallel (one shard per Arrow batch); the
+    driver collects only (hash, shard, row) — O(uniques) small values,
+    never the vectors.  This removes the former driver-side toArrow
+    collect + np.save, the pipeline's dominant serial term in the N-vs-4N
+    scaling criterion: the serial remainder is the tiny index collect +
+    dict build.  Workers np.load(mmap_mode='r') each shard lazily and
+    share page cache.  The staging dir must be host-shared (tmpfs here);
+    on a multi-host cluster point it at a shared filesystem — or set
+    broadcast_vectors=False for the shuffle-join path that needs no
+    shared storage.
+
+    Returns (index, shard_paths, dim, mat_dir).  Factored out of
+    pair_features_hashed so prepare() can run it in its background vector
+    thread, overlapping the blocking phase."""
+    import tempfile
+    import uuid
+
+    # staging-root resolution: config > ERX_STAGE_ROOT env > /dev/shm >
+    # tempdir.  Single-node defaults are host-local; multi-host clusters
+    # MUST set a shared path (see FeatureConfig.stage_root).
+    stage_root = cfg.stage_root or os.environ.get("ERX_STAGE_ROOT")
+    if stage_root is None:
+        stage_root = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    if not os.path.isdir(stage_root):
+        raise FileNotFoundError(
+            f"vector staging root {stage_root!r} is not a directory on the "
+            "driver. On a multi-host cluster set FeatureConfig.stage_root "
+            "(or ERX_STAGE_ROOT) to a filesystem shared by the driver and "
+            "ALL executors, or set broadcast_vectors=False to use the "
+            "shuffle-join path that needs no shared storage."
+        )
+    mat_dir = os.path.join(stage_root, f"erx-vecmat-{uuid.uuid4().hex}")
+    os.makedirs(mat_dir, exist_ok=True)
+    _register_stage_dir(mat_dir)
+
+    def _write_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import uuid as _uuid
+
+        for pdf in batches:
+            keep = pdf["embedding"].notna()
+            pdf = pdf[keep]
+            if not len(pdf):
+                continue
+            arr = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+            # pre-normalize: downstream cosine is then one dot product;
+            # original norms ride a sidecar (>0 flag = presence mask)
+            norms = np.linalg.norm(arr, axis=1)
+            nz = norms > 0
+            arr[nz] /= norms[nz, None]
+            name = f"shard-{_uuid.uuid4().hex}.npy"
+            np.save(os.path.join(mat_dir, name), arr)
+            np.save(os.path.join(mat_dir, name[: -len(".npy")] + ".norms.npy"), norms)
+            yield pd.DataFrame(
+                {
+                    "hash": pdf["hash"].to_numpy(),
+                    "shard": name,
+                    "row": np.arange(len(pdf), dtype=np.int64),
+                }
+            )
+
+    idx_pdf = (
+        vectors.select("hash", "embedding")
+        .mapInPandas(_write_shards, schema="hash string, shard string, row long")
+        .toPandas()
+    )
+    if len(idx_pdf):
+        shard_names = sorted(idx_pdf["shard"].unique().tolist())
+        shard_ids = {nm: i for i, nm in enumerate(shard_names)}
+        codes = (
+            idx_pdf["shard"].map(shard_ids).to_numpy(dtype=np.int64) << 32
+        ) | idx_pdf["row"].to_numpy(dtype=np.int64)
+        index = dict(zip(idx_pdf["hash"], codes.tolist()))
+        shard_paths = [os.path.join(mat_dir, nm) for nm in shard_names]
+        # header-only read for the dimension (same shared path the workers
+        # use)
+        dim = int(np.load(shard_paths[0], mmap_mode="r").shape[1])
+    else:
+        index, shard_paths, dim = {}, [], 1
+    return index, shard_paths, dim, mat_dir
 
 
 def pair_features_hashed(
@@ -733,6 +825,7 @@ def pair_features_hashed(
     vectors: DataFrame,
     cfg: FeatureConfig = FeatureConfig(),
     _score_model=None,
+    staged=None,
 ) -> DataFrame:
     """The scale-path feature battery: every expensive similarity is computed
     once per DISTINCT (left_hash, right_hash) pair — not per record pair —
@@ -818,83 +911,19 @@ def pair_features_hashed(
 
     LAST_STAGING.clear()
     if cfg.broadcast_vectors:
-        # DISTRIBUTED matrix staging: executors write float32 npy shards of
-        # the dedup'd vector table in parallel (one shard per Arrow batch);
-        # the driver collects only (hash, shard, row) — O(uniques) small
-        # values, never the vectors.  This removes the former driver-side
-        # toArrow collect + np.save, the pipeline's dominant serial term in
-        # the N-vs-4N scaling criterion: the serial remainder is the tiny
-        # index collect + dict build.  Workers np.load(mmap_mode='r') each
-        # shard lazily and share page cache.  The staging dir must be
-        # host-shared (tmpfs here); on a multi-host cluster point it at a
-        # shared filesystem — or set broadcast_vectors=False for the
-        # shuffle-join path that needs no shared storage.
-        import tempfile
-        import uuid
-
         _t0 = _time.time()
         sc = pairs.sparkSession.sparkContext
-        # staging-root resolution: config > ERX_STAGE_ROOT env > /dev/shm >
-        # tempdir.  Single-node defaults are host-local; multi-host clusters
-        # MUST set a shared path (see FeatureConfig.stage_root).
-        stage_root = cfg.stage_root or os.environ.get("ERX_STAGE_ROOT")
-        if stage_root is None:
-            stage_root = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-        if not os.path.isdir(stage_root):
-            raise FileNotFoundError(
-                f"vector staging root {stage_root!r} is not a directory on the "
-                "driver. On a multi-host cluster set FeatureConfig.stage_root "
-                "(or ERX_STAGE_ROOT) to a filesystem shared by the driver and "
-                "ALL executors, or set broadcast_vectors=False to use the "
-                "shuffle-join path that needs no shared storage."
+        # `staged`: a prebuilt matrix (stage_vector_matrix result or a
+        # zero-arg callable/future-resolver returning one) — lets prepare()
+        # stage the matrix in its background thread so the staging job
+        # overlaps the blocking phase instead of serializing at the head of
+        # the scoring window.
+        if staged is not None:
+            index, shard_paths, dim, mat_dir = (
+                staged() if callable(staged) else staged
             )
-        mat_dir = os.path.join(stage_root, f"erx-vecmat-{uuid.uuid4().hex}")
-        os.makedirs(mat_dir, exist_ok=True)
-        _register_stage_dir(mat_dir)
-
-        def _write_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            import uuid as _uuid
-
-            for pdf in batches:
-                keep = pdf["embedding"].notna()
-                pdf = pdf[keep]
-                if not len(pdf):
-                    continue
-                arr = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
-                # pre-normalize: downstream cosine is then one dot product;
-                # original norms ride a sidecar (>0 flag = presence mask)
-                norms = np.linalg.norm(arr, axis=1)
-                nz = norms > 0
-                arr[nz] /= norms[nz, None]
-                name = f"shard-{_uuid.uuid4().hex}.npy"
-                np.save(os.path.join(mat_dir, name), arr)
-                np.save(os.path.join(mat_dir, name[: -len(".npy")] + ".norms.npy"), norms)
-                yield pd.DataFrame(
-                    {
-                        "hash": pdf["hash"].to_numpy(),
-                        "shard": name,
-                        "row": np.arange(len(pdf), dtype=np.int64),
-                    }
-                )
-
-        idx_pdf = (
-            vectors.select("hash", "embedding")
-            .mapInPandas(_write_shards, schema="hash string, shard string, row long")
-            .toPandas()
-        )
-        if len(idx_pdf):
-            shard_names = sorted(idx_pdf["shard"].unique().tolist())
-            shard_ids = {nm: i for i, nm in enumerate(shard_names)}
-            codes = (
-                idx_pdf["shard"].map(shard_ids).to_numpy(dtype=np.int64) << 32
-            ) | idx_pdf["row"].to_numpy(dtype=np.int64)
-            index = dict(zip(idx_pdf["hash"], codes.tolist()))
-            shard_paths = [os.path.join(mat_dir, nm) for nm in shard_names]
-            # header-only read for the dimension (same shared path the
-            # workers use)
-            dim = int(np.load(shard_paths[0], mmap_mode="r").shape[1])
         else:
-            index, shard_paths, dim = {}, [], 1
+            index, shard_paths, dim, mat_dir = stage_vector_matrix(vectors, cfg)
         LAST_STAGING["stage_matrix"] = _time.time() - _t0
         _t0 = _time.time()
         # NOTE: the staging dir must outlive the DataFrame — workers mmap

@@ -67,12 +67,13 @@ class PipelineResult:
         self.clusters = clusters
         self._embeddings = embeddings
         self._idf_weights = idf_weights
+        self._staged = None
         self._emb_future = emb_future
 
     def _resolve_emb(self) -> None:
         if self._emb_future is not None:
             fut, self._emb_future = self._emb_future, None
-            self._embeddings, self._idf_weights = fut.result()
+            self._embeddings, self._idf_weights, self._staged = fut.result()
 
     @property
     def embeddings(self) -> DataFrame:
@@ -83,6 +84,14 @@ class PipelineResult:
     def idf_weights(self) -> list | None:
         self._resolve_emb()
         return self._idf_weights
+
+    @property
+    def staged(self):
+        """Pre-staged vector matrix (features.stage_vector_matrix result)
+        built by prepare()'s background thread, or None when the
+        shuffle-join path is configured."""
+        self._resolve_emb()
+        return getattr(self, "_staged", None)
 
 
 def prepare(pages: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> PipelineResult:
@@ -119,7 +128,14 @@ def prepare(pages: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> PipelineR
             StorageLevel.MEMORY_AND_DISK
         )
         emb.count()  # pre-materialize while off the critical path
-        return emb, weights
+        staged = None
+        if cfg.features.broadcast_vectors:
+            # pre-stage the scoring matrix too: it depends only on the
+            # (now materialized) vector table, so the staging job also
+            # overlaps blocking instead of heading the scoring window
+            vectors = emb.select("hash", "embedding").dropDuplicates(["hash"])
+            staged = FE.stage_vector_matrix(vectors, cfg.features)
+        return emb, weights, staged
 
     pool = ThreadPoolExecutor(max_workers=1)
     fut = pool.submit(_build_emb)
@@ -140,7 +156,8 @@ def featurize_pairs(
 
     vectors = prep.embeddings.select("hash", "embedding").dropDuplicates(["hash"])
     feats = FE.pair_features_hashed(
-        pairs, prep.record_field_hashes, prep.unique_strings, vectors, cfg.features
+        pairs, prep.record_field_hashes, prep.unique_strings, vectors,
+        cfg.features, staged=prep.staged,
     )
     # consumers run several actions (scaler agg, collect, scoring); in the
     # stage-table pipeline this is the stage's parquet write
@@ -154,7 +171,8 @@ def score_pairs(
     PREDICTIONS out (see features.pair_predictions_hashed)."""
     vectors = prep.embeddings.select("hash", "embedding").dropDuplicates(["hash"])
     return FE.pair_predictions_hashed(
-        pairs, prep.record_field_hashes, prep.unique_strings, vectors, model, cfg.features
+        pairs, prep.record_field_hashes, prep.unique_strings, vectors, model,
+        cfg.features, staged=prep.staged,
     )
 
 

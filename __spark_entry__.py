@@ -1637,9 +1637,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Returned SORTED BY NAME (see the tail of this function): the external
     # correctness driver samples a fixed-size window of registry entries, so
     # any hand-picked ordering would let the builder choose which queries get
-    # independently verified.  Alphabetical order is deterministic and
-    # content-blind — which entries land in the window is a property of their
-    # names, not of curation.  The queries the window misses on any given run
+    # independently verified.  Alphabetical order is deterministic, not
+    # tamper-proof — names are author-chosen, so window membership is still
+    # influenceable via naming; the sort removes the ORDERING lever only,
+    # and the real guarantee is the full-sweep artifact below.  The queries
+    # the window misses on any given run
     # are all covered by the committed full-sweep artifact
     # (CORRECTNESS_FULL_r*.json, every query vs DuckDB via
     # tools/check_correctness.py), regenerated each round after the final

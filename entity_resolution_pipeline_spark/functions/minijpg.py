@@ -249,6 +249,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             continue
         if marker == 0xD9:  # EOI: end of a progressive stream, or truncated
             if frame is not None and frame.get("progressive"):
+                if not frame.get("n_scans"):
+                    # SOF2 then EOI with zero completed scans: reconstructing
+                    # empty coefficient grids would fabricate an all-gray
+                    # image; the contract maps undecodable payloads to the
+                    # caller's stand-in path instead (ADVICE r5 #2)
+                    raise ValueError(
+                        "decode_jpeg: progressive stream with no scans"
+                    )
                 return _reconstruct(frame, qt)
             break
         (seglen,) = struct.unpack_from(">H", data, pos)
@@ -291,7 +299,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         f"decode_jpeg: unsupported sampling {hi}x{vi}"
                     )
                 comps.append(dict(cid=cid, h=hi, v=vi, tq=tq))
-            frame = dict(h=h, w=w, comps=comps, progressive=marker == 0xC2)
+            frame = dict(
+                h=h, w=w, comps=comps, progressive=marker == 0xC2, n_scans=0
+            )
             if frame["progressive"]:
                 # coefficients accumulate across scans: allocate the
                 # MCU-padded block grids up front
@@ -319,6 +329,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     data, pos + seglen, frame, scan, huff_dc, huff_ac,
                     restart_interval, ss, se, ahal >> 4, ahal & 0xF,
                 )
+                frame["n_scans"] += 1
                 continue  # more scans (or EOI) follow
             return _decode_scan(
                 data, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
@@ -326,6 +337,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             )
         pos += seglen
     if frame is not None and frame.get("progressive"):
+        if not frame.get("n_scans"):
+            raise ValueError("decode_jpeg: progressive stream with no scans")
         return _reconstruct(frame, qt)  # stream ended without explicit EOI
     raise ValueError("decode_jpeg: no SOS segment")
 

@@ -187,6 +187,25 @@ def ngram_jaccard_pairs(
 
 # ---------------------------------------------------------------- MinHash-LSH
 
+# Default char-shingle width of the MinHash operators.  fuzzy_dedup's
+# exact-duplicate pre-collapse (webtext.py) imports BOTH this constant and
+# `pairable_text_predicate` so its eligibility rule can never drift from
+# the kernel it mirrors (ADVICE r5 #1).
+MINHASH_SHINGLE_K = 5
+
+
+def pairable_text_predicate(text_col, k: int = MINHASH_SHINGLE_K):
+    """Spark Column: does the text yield >= 1 k-byte shingle under
+    functions.minhash.shingle_set's windowing (2-space padding, utf-8
+    bytes of the lowercased text)?  octet_length(lower(text)) + 2 >= k —
+    the single source of truth for LSH pairability; unpairable micro-docs
+    are singletons under the LSH contract (empty shingle set, no band
+    keys).  JVM lower() and Python str.lower() agree on every string this
+    gate can reject (such strings are at most k-2 < 4 bytes, where the
+    exotic multi-codepoint lowercasings that could diverge do not fit)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return c.isNotNull() & (F.octet_length(F.lower(c)) + 2 >= k)
+
 def _minhash_feats(
     docs: DataFrame,
     id_col: str,
@@ -320,7 +339,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     num_hashes: int = 64,
     bands: int = 16,
-    shingle_k: int = 5,
+    shingle_k: int = MINHASH_SHINGLE_K,
     threshold: float = 0.5,
     broadcast_budget_mb: int = 0,
 ) -> DataFrame:
@@ -835,7 +854,7 @@ def minhash_lsh_pairs_cross(
     text_col: str = "text",
     num_hashes: int = 64,
     bands: int = 16,
-    shingle_k: int = 5,
+    shingle_k: int = MINHASH_SHINGLE_K,
     threshold: float = 0.5,
     broadcast_budget_mb: int = 256,
 ) -> DataFrame:
@@ -929,7 +948,7 @@ def fuzzy_flags_against_corpus(
     text_col: str = "text",
     num_hashes: int = 64,
     bands: int = 16,
-    shingle_k: int = 5,
+    shingle_k: int = MINHASH_SHINGLE_K,
     threshold: float = 0.5,
     broadcast_budget_mb: int = 256,
 ) -> DataFrame:

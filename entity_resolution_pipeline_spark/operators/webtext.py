@@ -583,12 +583,14 @@ def fuzzy_dedup(
     # (component-min string id) and the keep-best selection (computed from
     # the assignment joined back to ALL docs) are therefore identical.
     # Pair volume drops from Σ n_f² to unique-text near-dup pairs.
-    shingle_k = 5  # minhash_lsh_pairs default — byte-identical contract
+    # pairability rule and shingle width imported from the MinHash operator
+    # itself — cannot drift from the kernel it mirrors (ADVICE r5 #1)
+    from .dedup import pairable_text_predicate
+
     sid = F.col(id_col).cast("string")
-    elig = docs.where(
-        F.col(text_col).isNotNull()
-        & (F.octet_length(F.lower(F.col(text_col))) + 2 >= shingle_k)
-    ).select(sid.alias("__eid"), F.md5(F.col(text_col)).alias("__fp"))
+    elig = docs.where(pairable_text_predicate(text_col)).select(
+        sid.alias("__eid"), F.md5(F.col(text_col)).alias("__fp")
+    )
     fam = elig.groupBy("__fp").agg(
         F.min("__eid").alias("__rep"), F.count("*").alias("__n")
     )

@@ -76,6 +76,21 @@ def test_determinism():
     assert encode_jpeg(img, quality=80) != encode_jpeg(img, quality=90)
 
 
+def test_progressive_zero_scans_raises_not_gray():
+    """SOF2 followed immediately by EOI (or data ending right after SOF2)
+    has zero completed scans: reconstructing the empty coefficient grids
+    would fabricate an all-gray image where the contract maps undecodable
+    payloads to the stand-in path — it must raise (ADVICE r5 #2)."""
+    import struct as _struct
+
+    sof2_body = _struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0])
+    sof2 = b"\xff\xc2" + _struct.pack(">H", 2 + len(sof2_body)) + sof2_body
+    with pytest.raises(ValueError, match="no scans"):
+        decode_jpeg(b"\xff\xd8" + sof2 + b"\xff\xd9")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8" + sof2)  # truncated right after SOF2
+
+
 def test_rejects_non_jpeg_and_unsupported_profiles():
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")

@@ -805,6 +805,7 @@ def incremental_dedup(
     m_bits: int = 1 << 23,
     fanout: int = 16,
     use_bloom: bool = True,
+    bloom_bytes: bytes | None = None,
 ) -> DataFrame:
     """Dedup a NEW crawl snapshot against an EXISTING corpus without ever
     joining new x corpus: `build_corpus_bloom` compresses the corpus
@@ -839,9 +840,13 @@ def incremental_dedup(
             )
         )
 
-    bloom_bytes = build_corpus_bloom(
-        corpus_docs, text_col=text_col, m_bits=m_bits, fanout=fanout
-    )
+    if bloom_bytes is None:
+        # `bloom_bytes`: a caller that already built the corpus filter (the
+        # per-snapshot precomputable artifact — e.g. the curation chain's
+        # prior-side background thread) passes it in; the build is skipped
+        bloom_bytes = build_corpus_bloom(
+            corpus_docs, text_col=text_col, m_bits=m_bits, fanout=fanout
+        )
     return flag_against_corpus(
         new_docs, corpus_docs, bloom_bytes, id_col=id_col, text_col=text_col, m_bits=m_bits
     )
@@ -941,6 +946,73 @@ def _cross_pairs_tiered(
     return _exact_jaccard(j, threshold)
 
 
+_ARTIFACT_UNSET = object()  # sentinel: corpus_artifact not supplied
+
+
+def build_fuzzy_corpus_artifact(
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = MINHASH_SHINGLE_K,
+    broadcast_budget_mb: int = 256,
+):
+    """The corpus side of `fuzzy_flags_against_corpus` as a standalone,
+    PRECOMPUTABLE per-snapshot artifact: budget probe + feature collect +
+    the packed numpy structures the broadcast kernel consumes.  Returns
+    None when the corpus exceeds the broadcast budget (caller falls back
+    to the tiered pair path).  Factored out so pipelines whose corpus side
+    is ready early (the curation chain's prior-snapshot thread) can build
+    it OFF the critical path — exactly the 'signatures/bands/shingles are
+    the per-snapshot artifact' shape the operator docstring promises."""
+    import numpy as np
+
+    if broadcast_budget_mb > 0:
+        # measured over lower(text) because shingle_set lowercases first and
+        # a few Unicode lowercasings GROW the utf-8 byte length (U+0130 ->
+        # 'i' + U+0307), which would undercut the "never more" bound
+        stat = corpus_docs.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.octet_length(F.lower(F.col(text_col)))), F.lit(0)
+            ).alias("len"),
+        ).first()
+        est = 2 * (
+            stat["n"] * (8 * num_hashes + 96 + 50 * bands)
+            + 8 * (stat["len"] + 2 * stat["n"])
+        )
+        if est > broadcast_budget_mb * (1 << 20):
+            return None
+    else:
+        return None
+
+    rfeats = _minhash_feats(
+        corpus_docs, id_col, text_col, num_hashes, shingle_k, bands, persist=False
+    )
+    rows = rfeats.select("sig", "sh", "ss", "keys").collect()
+    # Signatures are stored uint32-TRUNCATED: the estimate gate tests only
+    # slot EQUALITY, truncation preserves every true equality, and a false
+    # 32-bit agreement (p = 2^-32/slot) can only nudge the estimate UP —
+    # the gate is a prefilter, the exact-Jaccard verify decides membership.
+    # Halving signature bytes halves the gate's memory traffic, which is
+    # the measured scaling bottleneck of this kernel (raw-multiprocessing
+    # envelope 0.767 at 8->32 procs on one socket, BENCH/fuzzy_profile).
+    SIGS = (
+        np.array([r["sig"] for r in rows], dtype=np.int64).astype(np.uint32)
+        if rows
+        else np.empty((0, num_hashes), dtype=np.uint32)
+    )
+    SH = [np.asarray(r["sh"], dtype=np.int64) for r in rows]
+    RS = np.array([r["ss"] for r in rows], dtype=np.int64)
+    buckets: dict[str, list[int]] = {}
+    for i, r in enumerate(rows):
+        for bkey in r["keys"]:
+            buckets.setdefault(bkey, []).append(i)
+    packed = {k: np.array(v, dtype=np.intp) for k, v in buckets.items()}
+    return SIGS, SH, RS, packed
+
+
 def fuzzy_flags_against_corpus(
     new_docs: DataFrame,
     corpus_docs: DataFrame,
@@ -951,6 +1023,7 @@ def fuzzy_flags_against_corpus(
     shingle_k: int = MINHASH_SHINGLE_K,
     threshold: float = 0.5,
     broadcast_budget_mb: int = 256,
+    corpus_artifact=_ARTIFACT_UNSET,
 ) -> DataFrame:
     """(id, n_corpus_matches, kept) for every NEW document: how many
     corpus documents are MinHash-near (band-collision candidate, estimate
@@ -990,23 +1063,20 @@ def fuzzy_flags_against_corpus(
     """
     import numpy as np
 
-    bcast_ok = False
-    if broadcast_budget_mb > 0:
-        # measured over lower(text) because shingle_set lowercases first and
-        # a few Unicode lowercasings GROW the utf-8 byte length (U+0130 ->
-        # 'i' + U+0307), which would undercut the "never more" bound
-        stat = corpus_docs.agg(
-            F.count("*").alias("n"),
-            F.coalesce(
-                F.sum(F.octet_length(F.lower(F.col(text_col)))), F.lit(0)
-            ).alias("len"),
-        ).first()
-        est = 2 * (
-            stat["n"] * (8 * num_hashes + 96 + 50 * bands)
-            + 8 * (stat["len"] + 2 * stat["n"])
+    # corpus_artifact: prebuilt by build_fuzzy_corpus_artifact (possibly on
+    # a background thread — the curation chain's prior side), or unset, in
+    # which case it is built here; None means over-budget → fallback path
+    if corpus_artifact is _ARTIFACT_UNSET:
+        corpus_artifact = build_fuzzy_corpus_artifact(
+            corpus_docs,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            broadcast_budget_mb=broadcast_budget_mb,
         )
-        bcast_ok = est <= broadcast_budget_mb * (1 << 20)
-    if not bcast_ok:
+    if corpus_artifact is None:
         lfeats = _minhash_feats(
             new_docs, id_col, text_col, num_hashes, shingle_k, bands, persist=False
         )
@@ -1026,30 +1096,7 @@ def fuzzy_flags_against_corpus(
             .alias("kept"),
         )
 
-    rfeats = _minhash_feats(
-        corpus_docs, id_col, text_col, num_hashes, shingle_k, bands, persist=False
-    )
-    rows = rfeats.select("sig", "sh", "ss", "keys").collect()
-    # Signatures are stored uint32-TRUNCATED: the estimate gate tests only
-    # slot EQUALITY, truncation preserves every true equality, and a false
-    # 32-bit agreement (p = 2^-32/slot) can only nudge the estimate UP —
-    # the gate is a prefilter, the exact-Jaccard verify decides membership.
-    # Halving signature bytes halves the gate's memory traffic, which is
-    # the measured scaling bottleneck of this kernel (raw-multiprocessing
-    # envelope 0.767 at 8->32 procs on one socket, BENCH/fuzzy_profile).
-    SIGS = (
-        np.array([r["sig"] for r in rows], dtype=np.int64).astype(np.uint32)
-        if rows
-        else np.empty((0, num_hashes), dtype=np.uint32)
-    )
-    SH = [np.asarray(r["sh"], dtype=np.int64) for r in rows]
-    RS = np.array([r["ss"] for r in rows], dtype=np.int64)
-    buckets: dict[str, list[int]] = {}
-    for i, r in enumerate(rows):
-        for bkey in r["keys"]:
-            buckets.setdefault(bkey, []).append(i)
-    packed = {k: np.array(v, dtype=np.intp) for k, v in buckets.items()}
-    bc = new_docs.sparkSession.sparkContext.broadcast((SIGS, SH, RS, packed))
+    bc = new_docs.sparkSession.sparkContext.broadcast(corpus_artifact)
     floor = _est_floor(threshold, num_hashes)
     id_type = dict(new_docs.dtypes)[id_col]
 

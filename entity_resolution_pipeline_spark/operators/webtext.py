@@ -1455,6 +1455,7 @@ def incremental_fuzzy_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    corpus_artifact=None,
 ) -> DataFrame:
     """Near-dup version of the snapshot-vs-corpus dedup (the Dolma
     cross-snapshot recipe): flag every NEW document that is MinHash-near
@@ -1473,10 +1474,19 @@ def incremental_fuzzy_dedup(
     per-pair shingle arrays just to be counted (see the flag operator's
     measured note); over budget it falls back to the tiered pair path +
     count + left join."""
-    from .dedup import fuzzy_flags_against_corpus
+    from .dedup import _ARTIFACT_UNSET, fuzzy_flags_against_corpus
 
+    # corpus_artifact: optional prebuilt build_fuzzy_corpus_artifact result
+    # (None here means "not supplied", mapped to the operator's sentinel)
     return fuzzy_flags_against_corpus(
-        new_docs, corpus_docs, id_col=id_col, text_col=text_col, threshold=threshold
+        new_docs,
+        corpus_docs,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        corpus_artifact=(
+            _ARTIFACT_UNSET if corpus_artifact is None else corpus_artifact
+        ),
     )
 
 

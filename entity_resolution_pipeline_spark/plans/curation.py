@@ -174,11 +174,16 @@ def s_spans(quality: DataFrame, cfg: CurationConfig) -> DataFrame:
 
 
 def s_dedup_exact(
-    clean: DataFrame, prior_clean: DataFrame | None, cfg: CurationConfig
+    clean: DataFrame,
+    prior_clean: DataFrame | None,
+    cfg: CurationConfig,
+    bloom_bytes: bytes | None = None,
 ) -> DataFrame:
     """Exact dedup vs the prior snapshot's clean corpus via the broadcast
     Bloom path (no corpus shuffle, no new x corpus join).  prior=None (first
-    snapshot) keeps everything."""
+    snapshot) keeps everything.  `bloom_bytes`: optionally a prebuilt
+    corpus filter (the overlapped builder computes it on the prior-side
+    thread, off the critical path)."""
     if prior_clean is None:
         return clean
     from ..operators.dedup import incremental_dedup
@@ -188,15 +193,22 @@ def s_dedup_exact(
         prior_clean,
         text_col="clean_text",
         m_bits=cfg.bloom_m_bits,
+        bloom_bytes=bloom_bytes,
     ).where(F.col("kept") == 1)
     return clean.join(flags.select("doc_id"), "doc_id", "left_semi")
 
 
 def s_dedup_fuzzy(
-    clean: DataFrame, prior_clean: DataFrame | None, cfg: CurationConfig
+    clean: DataFrame,
+    prior_clean: DataFrame | None,
+    cfg: CurationConfig,
+    corpus_artifact=None,
 ) -> DataFrame:
     """Near-dup dedup vs the prior snapshot: cross-table MinHash band join
-    only (no new x new / prior x prior pairs), exact-Jaccard verified."""
+    only (no new x new / prior x prior pairs), exact-Jaccard verified.
+    `corpus_artifact`: optionally the prebuilt broadcast-kernel corpus
+    structures (build_fuzzy_corpus_artifact), same thread story as the
+    exact stage's bloom."""
     if prior_clean is None:
         return clean
     from ..operators.webtext import incremental_fuzzy_dedup
@@ -206,6 +218,7 @@ def s_dedup_fuzzy(
         prior_clean,
         text_col="clean_text",
         threshold=cfg.fuzzy_threshold,
+        corpus_artifact=corpus_artifact,
     ).where(F.col("kept") == 1)
     return clean.join(flags.select("doc_id"), "doc_id", "left_semi")
 
@@ -441,14 +454,18 @@ def _dedup_tail_frames(
     cfg: CurationConfig,
     persist: bool = True,
     timings: dict | None = None,
+    bloom_bytes: bytes | None = None,
+    fuzzy_artifact=None,
 ) -> dict[str, DataFrame]:
     """The post-clean tail of the chain (dedup vs prior → buckets → sample →
-    pack), shared by the sequential and the overlapped builders."""
-    exact = s_dedup_exact(frames["clean"], prior_clean, cfg)
+    pack), shared by the sequential and the overlapped builders.
+    bloom_bytes/fuzzy_artifact: prior-side dedup artifacts optionally
+    prebuilt off the critical path (curate_snapshot_overlapped)."""
+    exact = s_dedup_exact(frames["clean"], prior_clean, cfg, bloom_bytes=bloom_bytes)
     if persist and prior_clean is not None:
         exact = _pin(exact, timings, "exact_vs_prior")
     frames["exact"] = exact
-    fuzzy = s_dedup_fuzzy(exact, prior_clean, cfg)
+    fuzzy = s_dedup_fuzzy(exact, prior_clean, cfg, corpus_artifact=fuzzy_artifact)
     if persist and prior_clean is not None:
         fuzzy = _pin(fuzzy, timings, "fuzzy_vs_prior")
     frames["fuzzy"] = fuzzy
@@ -485,16 +502,34 @@ def curate_snapshot_overlapped(
     materialized exactly once."""
     from concurrent.futures import ThreadPoolExecutor
 
-    def _build_prior() -> DataFrame:
-        return build_clean_snapshot(prior_pages, cfg, funnel=False, timings=timings)[
-            "clean"
-        ].select("doc_id", "clean_text")
+    def _build_prior():
+        prior_clean = build_clean_snapshot(
+            prior_pages, cfg, funnel=False, timings=timings
+        )["clean"].select("doc_id", "clean_text")
+        # The dedup stages' CORPUS-side artifacts depend only on the prior
+        # side, so they are also built here, off the new side's critical
+        # path: the exact stage's Bloom filter and the fuzzy stage's
+        # broadcast kernel structures (the 'per-snapshot precomputable
+        # artifact' the flag operator documents).
+        from ..operators.dedup import (
+            build_corpus_bloom,
+            build_fuzzy_corpus_artifact,
+        )
+
+        bloom = build_corpus_bloom(
+            prior_clean, text_col="clean_text", m_bits=cfg.bloom_m_bits
+        )
+        fuzzy_art = build_fuzzy_corpus_artifact(prior_clean, text_col="clean_text")
+        return prior_clean, bloom, fuzzy_art
 
     with ThreadPoolExecutor(max_workers=1) as pool:
         prior_fut = pool.submit(_build_prior)
         frames = build_clean_snapshot(new_pages, cfg, timings=timings)
-        prior_clean = prior_fut.result()
-    return _dedup_tail_frames(frames, prior_clean, cfg, True, timings)
+        prior_clean, bloom, fuzzy_art = prior_fut.result()
+    return _dedup_tail_frames(
+        frames, prior_clean, cfg, True, timings,
+        bloom_bytes=bloom, fuzzy_artifact=fuzzy_art,
+    )
 
 
 def snapshot_funnel(frames: dict[str, DataFrame]) -> DataFrame:

@@ -393,14 +393,12 @@ def minhash_lsh_pairs(
     bids = feats.select("id", F.explode("keys").alias("key"))
 
     if _feats_broadcastable(feats, num_hashes, bands, broadcast_budget_mb):
-        from ..config import python_stage_width as _psw
-
         cands = (
             bids.toDF("left_id", "key")
             .join(F.broadcast(bids.toDF("right_id", "key")), "key")
             .where(F.col("left_id") < F.col("right_id"))
             .select("left_id", "right_id")
-            .repartition(_psw(docs.sparkSession), "left_id", "right_id")
+            .repartition(_pair_dedup_width(docs.sparkSession), "left_id", "right_id")
             .dropDuplicates()
         )
         return _fused_verify(
@@ -409,7 +407,7 @@ def minhash_lsh_pairs(
 
     l = bids.alias("l")
     r = bids.alias("r")
-    # The pair-dedup exchange is pinned at stage width (repartition on the
+    # The pair-dedup exchange is width-pinned (repartition on the
     # pair key, which dropDuplicates' clustering requirement then reuses —
     # no extra shuffle): the estimate-gate fold and the exact-verify kernel
     # downstream are pipelined onto THIS exchange's output with no further
@@ -418,18 +416,17 @@ def minhash_lsh_pairs(
     # gate+verify chain onto 3 of 32 cores at bench scale (8 MB of slim
     # pair rows).  Same rule as the feature battery's explicit repartition
     # before its Python stage (features.py): UDF cost/row >> bytes/row.
-    # Width scales with the cluster (defaultParallelism), so this stays
-    # right on a real deployment; the lost map-side partial dedup costs
-    # only the band-duplicate factor in shuffle bytes (measured 1.03x at
+    # The width is a FLOOR, never a cap (_pair_dedup_width): the pin
+    # defeats byte-based coalescing without undercutting the configured
+    # reduce width at scale; the lost map-side partial dedup costs only
+    # the band-duplicate factor in shuffle bytes (measured 1.03x at
     # sf0.1; bounded by the band count).
-    from ..config import python_stage_width
-
     cands = (
         l.join(r, "key")
         .where(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("left_id"), F.col("r.id").alias("right_id"))
         .repartition(
-            python_stage_width(docs.sparkSession), "left_id", "right_id"
+            _pair_dedup_width(docs.sparkSession), "left_id", "right_id"
         )
         .dropDuplicates()
     )
@@ -892,8 +889,6 @@ def minhash_lsh_pairs_cross(
     if _feats_broadcastable(rfeats, num_hashes, bands, broadcast_budget_mb):
         lbids = lfeats.select("id", F.explode("keys").alias("key"))
         rbids = rfeats.select("id", F.explode("keys").alias("key"))
-        from ..config import python_stage_width
-
         # width-pinned pair-dedup exchange: the fused gate+verify pipelines
         # onto it and is compute-bound per row (see minhash_lsh_pairs)
         cands = (
@@ -901,7 +896,7 @@ def minhash_lsh_pairs_cross(
             .join(F.broadcast(rbids.toDF("right_id", "key")), "key")
             .select("left_id", "right_id")
             .repartition(
-                python_stage_width(lfeats.sparkSession), "left_id", "right_id"
+                _pair_dedup_width(lfeats.sparkSession), "left_id", "right_id"
             )
             .dropDuplicates()
         )
@@ -918,8 +913,6 @@ def _cross_pairs_tiered(
     exact verify) cross pairs from prebuilt feature tables — the
     bytes-optimal 10^12-doc shuffle shape shared by the pair operator and
     the flagging operator's over-budget fallback."""
-    from ..config import python_stage_width
-
     lbids = lfeats.select("id", F.explode("keys").alias("key"))
     rbids = rfeats.select("id", F.explode("keys").alias("key"))
     # width-pinned pair-dedup exchange — see minhash_lsh_pairs
@@ -928,7 +921,7 @@ def _cross_pairs_tiered(
         .join(rbids.toDF("right_id", "key"), "key")
         .select("left_id", "right_id")
         .repartition(
-            python_stage_width(lfeats.sparkSession), "left_id", "right_id"
+            _pair_dedup_width(lfeats.sparkSession), "left_id", "right_id"
         )
         .dropDuplicates()
     )
@@ -944,6 +937,26 @@ def _cross_pairs_tiered(
         lfeats.select("id", "sh", "ss").toDF("left_id", "lsh", "ls"), "left_id"
     ).join(rfeats.select("id", "sh", "ss").toDF("right_id", "rsh", "rs"), "right_id")
     return _exact_jaccard(j, threshold)
+
+
+def _pair_dedup_width(spark) -> int:
+    """Partition count for the width-pinned pair-dedup exchanges: the pin
+    exists to FLOOR parallelism against AQE's byte-based coalescing (which
+    was observed squeezing the compute-bound gate+verify chain onto 3 of
+    32 cores at small shuffle sizes) — it must never CAP it below the
+    session's configured reduce width, which is what the un-pinned
+    exchange runs at when the shuffle is large (measured the hard way: a
+    half-width pin ran the 10x fixture's 21M-candidate verify at 16 of 32
+    cores, 255 s vs ~128 s).  Hence: max(configured shuffle partitions,
+    python stage width) — scale deployments set shuffle.partitions in the
+    thousands and keep full verify parallelism."""
+    from ..config import python_stage_width
+
+    try:
+        conf_w = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        conf_w = 0
+    return max(conf_w, python_stage_width(spark))
 
 
 _ARTIFACT_UNSET = object()  # sentinel: corpus_artifact not supplied

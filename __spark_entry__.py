@@ -1099,7 +1099,13 @@ def q_quality_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_classifier_scores,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    from entity_resolution_pipeline_spark.config import ensure_min_width
+
+    # width guard at the CALLER (the operator itself is contractually a
+    # zero-Exchange stateless projection for streaming composability):
+    # the gram fold is a heavy row-local expression and this fixture scans
+    # as a single split
+    docs = ensure_min_width(_read(spark, sf_dir, "documents"))
     # Gopher label fused into the scoring projection (keep=): both are
     # row-local metrics over the same corpus, so one scan computes score
     # AND label — no second tokenize pass, no scores-vs-labels self-join

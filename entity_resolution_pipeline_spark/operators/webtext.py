@@ -1335,12 +1335,12 @@ def quality_classifier_scores(
     # score AND another row-local metric over the same corpus (e.g. the
     # ROC query's Gopher label) fuse both into this single projection
     # instead of scanning the corpus twice and joining branches back on id.
-    from ..config import ensure_min_width
-
+    # NOTE: deliberately NO width guard here — the expr path's contract is
+    # "stateless projection, zero Exchange" (streaming composability,
+    # pinned by test_webtext); callers with a single-split batch input
+    # apply config.ensure_min_width to `docs` themselves (q_quality_roc).
     keep_in = [F.col(c) if isinstance(c, str) else c for c in keep]
-    # minimum-width guard: the gram fold is a heavy row-local expression
-    # (no-op at corpus scale — see config.ensure_min_width)
-    toks = ensure_min_width(docs).select(
+    toks = docs.select(
         F.col(id_col).alias("id"), _tokens(text_col).alias("t"), *keep_in
     )
     keep_names = [c for c in toks.columns if c not in ("id", "t")]

@@ -15,7 +15,6 @@ Two mainline plans:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -91,7 +90,7 @@ class PipelineResult:
         built by prepare()'s background thread, or None when the
         shuffle-join path is configured."""
         self._resolve_emb()
-        return getattr(self, "_staged", None)
+        return self._staged
 
 
 def prepare(pages: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> PipelineResult:

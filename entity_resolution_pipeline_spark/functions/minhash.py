@@ -151,9 +151,16 @@ _SIG_BLOCK_CELLS = 1 << 20
 
 
 def make_minhash_udf(num_hashes: int = 64, k: int = 3):
-    """Arrow pandas UDF: string column → array<long> signature column.
+    """Arrow pandas UDF: string column → array<int> signature column.
     Coefficients are computed once per executor (closure), re-used across
     batches.
+
+    Column type is int32, NOT long: every signature slot is a value mod
+    p = 2³¹−1 (and the empty-text sentinel −1), so int32 holds it exactly —
+    half the bytes through every exchange/broadcast the signatures ride
+    (guide §2.3 narrower types).  Band keys are unaffected: they are
+    computed from the int64 numpy representation inside the kernels
+    (band_keys coerces), never from the column bytes.
 
     Batched kernel: shingle sets for a block of docs are concatenated into
     ONE flat array, hashed as a single (num_hashes × Σ|S|) vectorized
@@ -164,7 +171,7 @@ def make_minhash_udf(num_hashes: int = 64, k: int = 3):
     Values are bit-identical to the per-doc path (same arithmetic)."""
     a, b = _coeffs(num_hashes)
 
-    @pandas_udf(ArrayType(LongType()))
+    @pandas_udf(ArrayType(IntegerType()))
     def minhash_udf(texts: pd.Series) -> pd.Series:
         sets = [
             shingle_set(t, k) if t else np.empty(0, dtype=np.uint64)
@@ -204,20 +211,24 @@ def _sigs_batched(
 
 
 def make_sig_shingle_udf(num_hashes: int = 64, k: int = 3):
-    """Arrow pandas UDF: string column → struct(sig array<long>, sh
-    array<long>) — MinHash signature AND the sorted distinct shingle-hash
+    """Arrow pandas UDF: string column → struct(sig array<int>, sh
+    array<int>) — MinHash signature AND the sorted distinct shingle-hash
     set from ONE pass over the text.  The LSH operators need both (bands
     from sig, exact verify from sh); computing them in separate UDFs
     shingled every document twice and scanned the text column twice.
-    Column values are bit-identical to make_minhash_udf / make_shingle_udf
-    (same shingle_set, same batch kernel)."""
+    Column values are numerically identical to make_minhash_udf /
+    make_shingle_udf (same shingle_set, same batch kernel); both arrays are
+    int32 because every element is a value mod p = 2³¹−1 (sentinel −1) —
+    see make_minhash_udf.  The sh arrays are the verify stage's dominant
+    per-pair payload, so the narrowing halves the bytes that cross the
+    pair-assembly joins and the Arrow intersect kernel's boundary."""
     from pyspark.sql.types import StructField, StructType
 
     a, b = _coeffs(num_hashes)
     ret = StructType(
         [
-            StructField("sig", ArrayType(LongType())),
-            StructField("sh", ArrayType(LongType())),
+            StructField("sig", ArrayType(IntegerType())),
+            StructField("sh", ArrayType(IntegerType())),
         ]
     )
 
@@ -230,7 +241,8 @@ def make_sig_shingle_udf(num_hashes: int = 64, k: int = 3):
         return pd.DataFrame(
             {
                 "sig": _sigs_batched(sets, a, b, num_hashes),
-                "sh": [s.astype(np.int64).tolist() for s in sets],
+                # exact: shingle values are mod p = 2³¹−1 < int32 max
+                "sh": [s.astype(np.int32).tolist() for s in sets],
             }
         )
 
@@ -238,21 +250,24 @@ def make_sig_shingle_udf(num_hashes: int = 64, k: int = 3):
 
 
 def make_sig_shingle_band_udf(num_hashes: int = 64, k: int = 3, bands: int = 16):
-    """Arrow pandas UDF: string column → struct(sig array<long>, sh
-    array<long>, keys array<string>) — signature, sorted distinct
+    """Arrow pandas UDF: string column → struct(sig array<int>, sh
+    array<int>, keys array<string>) — signature, sorted distinct
     shingle-hash set AND the LSH band keys, all from ONE pass over the
     text.  Emitting the keys here removes the separate band-key Python
     stage the LSH operators otherwise run over the sig column (a whole
     extra Arrow round-trip per corpus side at crawl-snapshot latencies).
-    Values are bit-identical to make_sig_shingle_udf + make_band_keys_udf
-    composed (same kernels)."""
+    Values are numerically identical to make_sig_shingle_udf +
+    make_band_keys_udf composed (same kernels; the band keys are computed
+    HERE from the int64 numpy signatures, before the int32 column cast, so
+    they are byte-identical to the long-typed era).  int32 arrays: see
+    make_minhash_udf / make_sig_shingle_udf."""
     from pyspark.sql.types import StructField, StructType
 
     a, b = _coeffs(num_hashes)
     ret = StructType(
         [
-            StructField("sig", ArrayType(LongType())),
-            StructField("sh", ArrayType(LongType())),
+            StructField("sig", ArrayType(IntegerType())),
+            StructField("sh", ArrayType(IntegerType())),
             StructField("keys", ArrayType(StringType())),
         ]
     )
@@ -267,7 +282,11 @@ def make_sig_shingle_band_udf(num_hashes: int = 64, k: int = 3, bands: int = 16)
         return pd.DataFrame(
             {
                 "sig": sigs,
-                "sh": [s.astype(np.int64).tolist() for s in sets],
+                # exact: shingle values are mod p = 2³¹−1 < int32 max
+                "sh": [s.astype(np.int32).tolist() for s in sets],
+                # band keys hash the INT64 signature bytes (byte-identical
+                # to the long-typed column era; the int32 column cast
+                # happens after this kernel returns)
                 "keys": [
                     band_keys(np.asarray(s, dtype=np.int64), bands) for s in sigs
                 ],
@@ -278,7 +297,7 @@ def make_sig_shingle_band_udf(num_hashes: int = 64, k: int = 3, bands: int = 16)
 
 
 def make_intersect_size_udf():
-    """Arrow pandas UDF: two sorted-distinct long-array columns → exact
+    """Arrow pandas UDF: two sorted-distinct integer-array columns → exact
     |A∩B| (int).  Sorted-merge via one np.searchsorted of the shorter set
     into the longer + an equality count — exact because shingle_set emits
     sorted distinct values, so positional hits are 1:1 with set members.
@@ -294,19 +313,20 @@ def make_intersect_size_udf():
 
     @pandas_udf(IntegerType())
     def intersect_size_udf(lsh: pd.Series, rsh: pd.Series) -> pd.Series:
+        # dtype-preserving: both columns are array<int32>, and searchsorted
+        # on matching integer dtypes needs no cast — forcing int64 here
+        # would copy every array right after it crossed the boundary
         out = np.empty(len(lsh), dtype=np.int32)
         for i, (a, b) in enumerate(zip(lsh, rsh)):
-            out[i] = sorted_intersect_size(
-                np.asarray(a, dtype=np.int64), np.asarray(b, dtype=np.int64)
-            )
+            out[i] = sorted_intersect_size(np.asarray(a), np.asarray(b))
         return pd.Series(out)
 
     return intersect_size_udf
 
 
 def sorted_intersect_size(a: np.ndarray, b: np.ndarray) -> int:
-    """Exact |A∩B| for two SORTED-DISTINCT int64 arrays: searchsorted of
-    the shorter into the longer + equality count (see
+    """Exact |A∩B| for two SORTED-DISTINCT same-dtype integer arrays:
+    searchsorted of the shorter into the longer + equality count (see
     make_intersect_size_udf for why this replaces JVM array_intersect)."""
     if len(a) > len(b):
         a, b = b, a

@@ -1016,7 +1016,11 @@ def build_fuzzy_corpus_artifact(
         if rows
         else np.empty((0, num_hashes), dtype=np.uint32)
     )
-    SH = [np.asarray(r["sh"], dtype=np.int64) for r in rows]
+    # int32 shingle arrays (values are mod p = 2³¹−1 — exact): halves the
+    # broadcast payload and the verify probe's memory traffic, the same
+    # bandwidth argument as the uint32 signature truncation above, and
+    # matches the int32 `sh` column type so no per-row upcast happens
+    SH = [np.asarray(r["sh"], dtype=np.int32) for r in rows]
     RS = np.array([r["ss"] for r in rows], dtype=np.int64)
     buckets: dict[str, list[int]] = {}
     for i, r in enumerate(rows):
@@ -1151,8 +1155,11 @@ def fuzzy_flags_against_corpus(
                         # into this doc's sorted-distinct shingle array and
                         # segment-sum the hit mask (np.add.reduceat) —
                         # exactly Σ sorted_intersect_size per survivor, one
-                        # searchsorted instead of one numpy call per pair
-                        a = sh_u.astype(np.int64)
+                        # searchsorted instead of one numpy call per pair.
+                        # int32 to match the corpus SH dtype (exact: values
+                        # are mod p = 2³¹−1) — same-dtype searchsorted, no
+                        # upcast copy of the concatenated survivor sets
+                        a = sh_u.astype(np.int32)
                         la = len(a)
                         lens = rs_v[sur]
                         flat = np.concatenate([sh_l[ri] for ri in sur])

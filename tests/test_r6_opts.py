@@ -53,3 +53,58 @@ def test_minhash_default_shingle_k_is_shared():
 
     sig = inspect.signature(minhash_lsh_pairs)
     assert sig.parameters["shingle_k"].default == MINHASH_SHINGLE_K
+
+
+def test_int32_sig_shingle_columns_exact(spark):
+    """The int32 narrowing contract (round-6 late change): the sig/sh
+    columns are array<int> — every value is a hash mod p = 2³¹−1 (or the
+    −1 sentinel), so the narrowing is EXACT — and the column values,
+    band keys, and pairable-set Jaccards are identical to the pure-Python
+    int64 kernels they mirror."""
+    from pyspark.sql import functions as F
+
+    from entity_resolution_pipeline_spark.functions.minhash import (
+        band_keys,
+        jaccard,
+        make_sig_shingle_band_udf,
+        minhash_signature,
+    )
+
+    texts = ["the quick brown fox", "the quick brown fax", "", "ab",
+             "the quick brown fox"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    ssu = make_sig_shingle_band_udf(num_hashes=64, k=MINHASH_SHINGLE_K)
+    out = df.select("id", ssu("text").alias("f")).select(
+        "id", F.col("f.sig").alias("sig"), F.col("f.sh").alias("sh"),
+        F.col("f.keys").alias("keys"),
+    )
+    # declared column types are int32 arrays
+    dt = dict(out.dtypes)
+    assert dt["sig"] == "array<int>" and dt["sh"] == "array<int>"
+    rows = {r["id"]: r for r in out.collect()}
+    for i, t in enumerate(texts):
+        ref_sig = minhash_signature(t, num_hashes=64, k=MINHASH_SHINGLE_K)
+        assert list(rows[i]["sig"]) == ref_sig.tolist(), t
+        ref_sh = shingle_set(t, MINHASH_SHINGLE_K)
+        assert list(rows[i]["sh"]) == ref_sh.astype(np.int64).tolist(), t
+        # band keys byte-identical to the int64-era computation
+        assert list(rows[i]["keys"]) == band_keys(ref_sig, bands=16), t
+    # exact Jaccard through the int32 columns matches the Python kernel
+    from entity_resolution_pipeline_spark.functions.minhash import (
+        make_intersect_size_udf,
+        sorted_intersect_size,
+    )
+
+    isz = make_intersect_size_udf()
+    pair = (
+        out.where(F.col("id") == 0).select(F.col("sh").alias("lsh"))
+        .crossJoin(out.where(F.col("id") == 1).select(F.col("sh").alias("rsh")))
+        .select(isz("lsh", "rsh").alias("c")).collect()[0]
+    )
+    a = shingle_set(texts[0], MINHASH_SHINGLE_K)
+    b = shingle_set(texts[1], MINHASH_SHINGLE_K)
+    assert pair["c"] == sorted_intersect_size(a, b)
+    want_j = jaccard(texts[0], texts[1], MINHASH_SHINGLE_K)
+    got_j = pair["c"] / (len(a) + len(b) - pair["c"])
+    assert abs(got_j - want_j) < 1e-12

@@ -34,6 +34,7 @@ SHOW = [
     ("html_extract", "r2: WET-style HTML→text — the whole strip/unescape/normalize chain is ONE shuffle-free Project over the scan"),
     ("incremental_fuzzy_dedup", "r4: cross-snapshot near-dup flagging — when the corpus feature table fits the broadcast budget (columnar octet-length estimate, no Python pre-pass) the WHOLE count runs as ONE fused mapInPandas pass over the new side's raw text (shingle+sign+band, per-doc band buckets → unique candidates, vectorized signature gate, sorted-merge exact intersect) with the corpus broadcast — zero pair rows, zero feature shuffles (the one Exchange is the stage-width round-robin of the new side's slim (id,text) rows); over budget it falls back to the r2 shape (snapshot bands equi-join corpus bands, new×new structurally impossible, estimate prefilter + exact verify)"),
     ("minhash_lsh_pairs", "r4: MinHash-LSH self-join — ONE persisted sig+shingle feature pass per document (combined Arrow kernel: shift-add Mersenne mod, reduceat-blocked signatures), band explode + equi-join on (band, key) buckets, signature-agreement estimate gate, sorted-merge exact-Jaccard verify on survivors only; tiered two-phase pair assembly keeps per-pair shingle arrays off the band shuffle"),
+    ("fuzzy_dedup_corpus", "r5/r6: full fuzzy dedup with the exact-duplicate PRE-COLLAPSE — distinct pairable texts collapse to a min-id representative FIRST (one hash agg), only representatives run the MinHash band/gate/verify tiers (pair volume drops from Σ n_f² to unique-text near-dup pairs), members re-attach by star edges unioned with the verified rep pairs, then distributed large-star/small-star CC (localCheckpoint-truncated rounds; the printed plan starts from the final assignment table) and the min-id representative choice; r6 adds the width-pinned pair-dedup exchange and the eager feature-table checkpoint shared with minhash_lsh_pairs"),
     ("semantic_dedup", "r3/r4: SemDeDup — ±1 sign-projection shards as one shuffle-free Project (index-select folds, no UDF), then ONE groupBy(bucket)-applyInArrow stage (zero-copy flatten + gather, no per-row Series) computing the entire per-cluster semantics in numpy (centroid, blocked cosine matmul with a reused buffer, min-label-prop CC, keep-least-central); single Exchange total, no persist, no join-backs; bucket size bounded only by n_planes sizing (auto-derived from a corpus count by default)"),
     ("semantic_dedup_multitable", "r5: multi-table SemDeDup — ONE mapInArrow pass computes all R tables' bucket codes (single V @ P.T for the concatenated plane matrix) and explodes to R (id,vec,bucket) rows; ONE groupBy(bucket)-applyInPandas stage emits threshold EDGES (pair volume, not corpus volume) deduplicated across tables; distributed large-star/small-star CC unions the per-table pair sets; tiny near-clique components regroup for the keep-least-central kernel while singletons take an id-only anti-join (their vectors never shuffle twice)"),
     ("cluster_modularity", "r3: Newman Q decomposition — edge list shuffles on community id only; m is a 1-row broadcast; no windows, no driver graph"),
